@@ -1,0 +1,221 @@
+"""Deterministic synthetic fixtures (no external data, fixed arithmetic).
+
+* ``four_squares_zones`` — the reference's own hierarchy unit-test world
+  (src/hierarchy_builder.rs:157-195).
+* ``lux_world`` — a synthetic Luxembourg-like nested world whose count
+  structure mirrors the reference's golden integration test
+  (tests/cosmogony_test.rs:134-150): 1 country (level 2) ⊃ 13 cantons
+  (level 6) ⊃ 105 communes (level 8) ⊃ 79 localities (level 9) + 2
+  level-10 rows that must be dropped as untyped.
+* ``gen_images`` — the web-scale fact table (FIXTURES.md F4) with
+  numpy-codec'd pixel payloads and skew-concentrated coordinates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from cosmospark import codecs, geom
+
+# World placement: a 13x10-degree box roughly at Luxembourg's lon/lat
+LUX_X0, LUX_Y0 = 2.0, 44.0
+LUX_W, LUX_H = 13.0, 10.0
+
+
+def _zone(zid, osm_id, level, ztype, name, rect, tags=None, center_tags=None, generated=False):
+    if rect is not None:
+        rect = tuple(float(v) for v in rect)
+    rings = geom.make_rect(*rect) if rect is not None else None
+    minx, miny, maxx, maxy = rect if rect is not None else (None,) * 4
+    c = geom.centroid(rings) if rings is not None else None
+    return {
+        "id": zid,
+        "osm_id": osm_id,
+        "admin_level": level,
+        "zone_type": ztype,
+        "name": name,
+        "tags": tags or {},
+        "center_tags": center_tags or {},
+        "center": {"lon": c[0], "lat": c[1]} if c else None,
+        "rings": geom.rings_to_rows(rings) if rings is not None else None,
+        "bbox": {"minx": minx, "miny": miny, "maxx": maxx, "maxy": maxy}
+        if rect is not None
+        else None,
+        "is_generated": generated,
+    }
+
+
+def four_squares_zones(types=("country", "state", "city", "state")):
+    """z0 (0,0)-(10,10), z1 (1,1)-(9,9), z2 (2,2)-(8,8), z3 (0,0)-(10,5).
+
+    ``types`` lets tests reproduce the reference's type-permutation
+    variants (hierarchy_builder.rs:206-287)."""
+    rects = [(0, 0, 10, 10), (1, 1, 9, 9), (2, 2, 8, 8), (0, 0, 10, 5)]
+    return [
+        _zone(i, f"relation:{100 + i}", None, t, f"z{i}", r)
+        for i, (r, t) in enumerate(zip(rects, types))
+    ]
+
+
+def lux_world() -> list[dict]:
+    """Nested rectangles with the Luxembourg golden count structure.
+
+    Layout (all rectangles, so PIP/containment is DuckDB-expressible):
+      country: (X0, Y0) + 13 x 10
+      canton i (0..12): column strip [X0+i, X0+i+1) x [Y0, Y0+10)
+      communes: each canton is split into 8 vertical sub-strips of
+        height 10/8 (104) + 1 extra commune inside canton 0 = 105
+      localities: 79 rects inside the first 79 communes
+      2 level-10 rows (untyped → dropped by clean_untagged_zones)
+    """
+    zones: list[dict] = []
+    nid = 0
+
+    def nxt():
+        nonlocal nid
+        nid += 1
+        return nid - 1
+
+    country_rect = (LUX_X0, LUX_Y0, LUX_X0 + LUX_W, LUX_Y0 + LUX_H)
+    zones.append(
+        _zone(
+            nxt(),
+            "relation:2171347",
+            2,
+            None,
+            "Lëtzebuerg",
+            country_rect,
+            tags={
+                "ISO3166-1:alpha2": "LU",
+                "boundary": "administrative",
+                "admin_level": "2",
+                "name:fr": "Luxembourg",
+                "name:de": "Luxemburg",
+            },
+        )
+    )
+
+    commune_rects = []
+    for i in range(13):
+        cx0 = LUX_X0 + i
+        canton_rect = (cx0, LUX_Y0, cx0 + 1.0, LUX_Y0 + LUX_H)
+        zones.append(
+            _zone(
+                nxt(),
+                f"relation:{3000 + i}",
+                6,
+                None,
+                f"Canton {i}",
+                canton_rect,
+                tags={"boundary": "administrative", "admin_level": "6"},
+            )
+        )
+        for j in range(8):
+            ch = LUX_H / 8.0
+            rect = (cx0, LUX_Y0 + j * ch, cx0 + 1.0, LUX_Y0 + (j + 1) * ch)
+            commune_rects.append((i, j, rect))
+
+    # the 105th commune: a small box strictly inside canton 0's first strip
+    commune_rects.append((0, 8, (LUX_X0 + 0.1, LUX_Y0 + 0.1, LUX_X0 + 0.4, LUX_Y0 + 0.4)))
+
+    for k, (i, j, rect) in enumerate(commune_rects):
+        zones.append(
+            _zone(
+                nxt(),
+                f"relation:{4000 + k}",
+                8,
+                None,
+                f"Commune {i}-{j}",
+                rect,
+                tags={
+                    "boundary": "administrative",
+                    "admin_level": "8",
+                    "addr:postcode": f"{7000 + k}",
+                    **({"wikidata": f"Q{9000 + k}"} if k % 2 == 0 else {}),
+                },
+            )
+        )
+
+    # 79 localities inside the first 79 communes (strictly interior rects)
+    for k in range(79):
+        i, j, (a, b, c, d) = commune_rects[k]
+        w, h = c - a, d - b
+        rect = (a + 0.2 * w, b + 0.2 * h, a + 0.6 * w, b + 0.6 * h)
+        zones.append(
+            _zone(
+                nxt(),
+                f"relation:{5000 + k}",
+                9,
+                None,
+                f"Locality {k}",
+                rect,
+                tags={"boundary": "administrative", "admin_level": "9"},
+            )
+        )
+
+    # 2 level-10 rows: no typing rule for level 10 → zone_type NULL → dropped
+    for k in range(2):
+        i, j, (a, b, c, d) = commune_rects[k]
+        w, h = c - a, d - b
+        rect = (a + 0.7 * w, b + 0.7 * h, a + 0.8 * w, b + 0.8 * h)
+        zones.append(
+            _zone(
+                nxt(),
+                f"relation:{6000 + k}",
+                10,
+                None,
+                f"Micro {k}",
+                rect,
+                tags={"boundary": "administrative", "admin_level": "10"},
+            )
+        )
+    return zones
+
+
+LUX_RULES_LEVELS = [
+    # (country, admin_level, zone_type) — libpostal-style default map
+    ("LU", "2", "country"),
+    ("LU", "6", "state_district"),
+    ("LU", "8", "city"),
+    ("LU", "9", "suburb"),
+]
+
+
+# ---------------------------------------------------------------------------
+# Image fact table
+
+
+def gen_images(n: int, seed: int = 42, px: int = 16, skew: float = 0.7) -> list[dict]:
+    """Deterministic image rows inside the lux_world box.
+
+    ``skew`` fraction of coordinates concentrate in 2 megacity communes
+    (exercises salting / AQE skew handling)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    mega = [(LUX_X0 + 0.0, LUX_Y0 + 0.0, LUX_X0 + 1.0, LUX_Y0 + 1.25),
+            (LUX_X0 + 6.0, LUX_Y0 + 5.0, LUX_X0 + 7.0, LUX_Y0 + 6.25)]
+    for i in range(n):
+        if rng.random() < skew:
+            m = mega[i % 2]
+            lon = rng.uniform(m[0], m[2])
+            lat = rng.uniform(m[1], m[3])
+        else:
+            lon = rng.uniform(LUX_X0, LUX_X0 + LUX_W)
+            lat = rng.uniform(LUX_Y0, LUX_Y0 + LUX_H)
+        arr = rng.integers(0, 256, size=(px, px, 3), dtype=np.uint8)
+        fmt = "raw" if i % 2 == 0 else "lossy"
+        blob = codecs.encode(arr, fmt)
+        rows.append(
+            {
+                "image_id": f"img_{i:012d}",
+                "bytes": bytes(blob),
+                "w": px,
+                "h": px,
+                "fmt": fmt,
+                "caption": f"photo {i} near ({lon:.3f},{lat:.3f}) tagged c{i % 7}",
+                "phash": int(codecs.phash64(arr)),
+                "lon": float(lon),
+                "lat": float(lat),
+            }
+        )
+    return rows

@@ -1,0 +1,278 @@
+"""Vectorized numpy geometry kernels.
+
+The environment has no GEOS/shapely, so every predicate the reference
+delegates to the ``geos``/``geo`` crates is hand-built here over packed
+coordinate arrays (Arrow-friendly):
+
+* ``covers``      — boundary-inclusive containment, matching GEOS ``covers``
+                    as used at reference src/zone_ext.rs:236-277 (the comment
+                    at :244-246 explains why covers, not contains: a polygon
+                    does NOT contain its boundary, but covers it).
+* ``pip``         — strict even-odd point-in-polygon, matching the ``geo``
+                    crate ``contains`` at src/zone_ext.rs:279-284.
+* ``intersects``  — any-polygon intersects, src/zone_ext.rs:286-293.
+* ``centroid``    — shoelace centroid with the NaN guard of
+                    src/zone_ext.rs:195-208.
+* ``bbox``        — bounding rect, src/zone_ext.rs:184.
+
+Geometry representation: a *multipolygon* is a list of rings, each ring a
+tuple ``(poly_idx, ring_idx, xs, ys)`` with ``xs``/``ys`` float64 numpy
+arrays (closed or open — we treat the first==last duplicate as optional).
+``ring_idx == 0`` is the exterior of polygon ``poly_idx``; higher ring
+indices are holes. This maps 1:1 onto the Spark column
+``array<struct<poly:int, ring:int, xs:array<double>, ys:array<double>>>``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+EPS = 1e-12
+
+Ring = tuple  # (poly_idx:int, ring_idx:int, xs:np.ndarray, ys:np.ndarray)
+
+
+def make_rect(minx: float, miny: float, maxx: float, maxy: float) -> list[Ring]:
+    """Single-polygon axis-aligned rectangle multipolygon."""
+    xs = np.array([minx, minx, maxx, maxx], dtype=np.float64)
+    ys = np.array([miny, maxy, maxy, miny], dtype=np.float64)
+    return [(0, 0, xs, ys)]
+
+
+def _close_ring(xs: np.ndarray, ys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Drop the duplicated closing vertex if present."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    if len(xs) > 1 and xs[0] == xs[-1] and ys[0] == ys[-1]:
+        return xs[:-1], ys[:-1]
+    return xs, ys
+
+
+def _ring_edges(xs: np.ndarray, ys: np.ndarray):
+    """(x1, y1, x2, y2) edge arrays for a ring (auto-closing)."""
+    xs, ys = _close_ring(xs, ys)
+    return xs, ys, np.roll(xs, -1), np.roll(ys, -1)
+
+
+def bbox(rings: list[Ring]) -> tuple[float, float, float, float]:
+    minx = min(float(np.min(r[2])) for r in rings)
+    maxx = max(float(np.max(r[2])) for r in rings)
+    miny = min(float(np.min(r[3])) for r in rings)
+    maxy = max(float(np.max(r[3])) for r in rings)
+    return minx, miny, maxx, maxy
+
+
+def bbox_overlaps(a, b) -> bool:
+    return a[0] <= b[2] and b[0] <= a[2] and a[1] <= b[3] and b[1] <= a[3]
+
+
+def bbox_contains_bbox(a, b) -> bool:
+    """bbox a fully contains bbox b (boundary-inclusive)."""
+    return a[0] <= b[0] and a[1] <= b[1] and a[2] >= b[2] and a[3] >= b[3]
+
+
+def _crossings(px: np.ndarray, py: np.ndarray, xs, ys) -> np.ndarray:
+    """Even-odd ray-cast crossing counts of points against one ring.
+
+    Vectorized over points AND edges: for P points and E edges this is a
+    (P, E) boolean reduction. The upward-ray convention (y1 <= py < y2)
+    handles vertices exactly once.
+    """
+    x1, y1, x2, y2 = _ring_edges(xs, ys)
+    px = px[:, None]
+    py = py[:, None]
+    cond = (y1[None, :] <= py) != (y2[None, :] <= py)
+    # x coordinate where the edge crosses the horizontal line through py
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (py - y1[None, :]) / np.where(y2 - y1 == 0, np.inf, (y2 - y1))[None, :]
+        xint = x1[None, :] + t * (x2 - x1)[None, :]
+    crossing = cond & (px < xint)
+    return crossing.sum(axis=1)
+
+
+def pip(px: np.ndarray, py: np.ndarray, rings: list[Ring]) -> np.ndarray:
+    """Strict even-odd point-in-multipolygon (boundary points undefined;
+    use ``pip_covers`` for boundary-inclusive)."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    result = np.zeros(len(px), dtype=bool)
+    polys: dict[int, list[Ring]] = {}
+    for r in rings:
+        polys.setdefault(r[0], []).append(r)
+    for poly_rings in polys.values():
+        cross = np.zeros(len(px), dtype=np.int64)
+        for _, _, xs, ys in poly_rings:
+            cross += _crossings(px, py, xs, ys)
+        result |= (cross % 2) == 1
+    return result
+
+
+def on_boundary(px: np.ndarray, py: np.ndarray, rings: list[Ring], eps: float = EPS) -> np.ndarray:
+    """Point lies on any ring segment (within eps)."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    out = np.zeros(len(px), dtype=bool)
+    for _, _, xs, ys in rings:
+        x1, y1, x2, y2 = _ring_edges(xs, ys)
+        dx = (x2 - x1)[None, :]
+        dy = (y2 - y1)[None, :]
+        wx = px[:, None] - x1[None, :]
+        wy = py[:, None] - y1[None, :]
+        seg_len2 = dx * dx + dy * dy
+        t = np.clip((wx * dx + wy * dy) / np.where(seg_len2 == 0, 1.0, seg_len2), 0.0, 1.0)
+        distx = wx - t * dx
+        disty = wy - t * dy
+        d2 = distx * distx + disty * disty
+        out |= (d2 <= eps * eps).any(axis=1)
+    return out
+
+
+def pip_covers(px: np.ndarray, py: np.ndarray, rings: list[Ring]) -> np.ndarray:
+    """Boundary-inclusive point-in-multipolygon (GEOS covers semantics
+    for a point operand)."""
+    return pip(px, py, rings) | on_boundary(px, py, rings)
+
+
+def _segments(rings: list[Ring]):
+    """All edges of a multipolygon as stacked arrays."""
+    xs1, ys1, xs2, ys2 = [], [], [], []
+    for _, _, xs, ys in rings:
+        x1, y1, x2, y2 = _ring_edges(xs, ys)
+        xs1.append(x1)
+        ys1.append(y1)
+        xs2.append(x2)
+        ys2.append(y2)
+    return (
+        np.concatenate(xs1),
+        np.concatenate(ys1),
+        np.concatenate(xs2),
+        np.concatenate(ys2),
+    )
+
+
+def _orient(ax, ay, bx, by, cx, cy):
+    return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+
+def segments_properly_cross(rings_a: list[Ring], rings_b: list[Ring]) -> bool:
+    """True iff some edge of A *properly* crosses some edge of B (interiors
+    of the segments intersect at a single point, not mere touching)."""
+    ax1, ay1, ax2, ay2 = _segments(rings_a)
+    bx1, by1, bx2, by2 = _segments(rings_b)
+    # broadcast A edges (rows) against B edges (cols)
+    d1 = _orient(ax1[:, None], ay1[:, None], ax2[:, None], ay2[:, None], bx1[None, :], by1[None, :])
+    d2 = _orient(ax1[:, None], ay1[:, None], ax2[:, None], ay2[:, None], bx2[None, :], by2[None, :])
+    d3 = _orient(bx1[None, :], by1[None, :], bx2[None, :], by2[None, :], ax1[:, None], ay1[:, None])
+    d4 = _orient(bx1[None, :], by1[None, :], bx2[None, :], by2[None, :], ax2[:, None], ay2[:, None])
+    proper = ((d1 > EPS) & (d2 < -EPS) | (d1 < -EPS) & (d2 > EPS)) & (
+        (d3 > EPS) & (d4 < -EPS) | (d3 < -EPS) & (d4 > EPS)
+    )
+    return bool(proper.any())
+
+
+def _sample_points(rings: list[Ring]) -> tuple[np.ndarray, np.ndarray]:
+    """Vertices plus edge midpoints of a multipolygon."""
+    pxs, pys = [], []
+    for _, _, xs, ys in rings:
+        x1, y1, x2, y2 = _ring_edges(xs, ys)
+        pxs.append(x1)
+        pys.append(y1)
+        pxs.append((x1 + x2) / 2.0)
+        pys.append((y1 + y2) / 2.0)
+    return np.concatenate(pxs), np.concatenate(pys)
+
+
+def covers(rings_a: list[Ring], rings_b: list[Ring]) -> bool:
+    """Boundary-inclusive containment: A covers B.
+
+    Matches GEOS ``covers`` for valid admin polygons
+    (reference src/zone_ext.rs:236-277): every vertex and edge midpoint
+    of B is inside-or-on A, no edge of B properly crosses an edge of A,
+    and bbox(B) ⊆ bbox(A).
+    """
+    if not bbox_contains_bbox(bbox(rings_a), bbox(rings_b)):
+        return False
+    px, py = _sample_points(rings_b)
+    inside = pip(px, py, rings_a) | on_boundary(px, py, rings_a)
+    if not inside.all():
+        return False
+    return not segments_properly_cross(rings_a, rings_b)
+
+
+def intersects(rings_a: list[Ring], rings_b: list[Ring]) -> bool:
+    """Any polygon of A intersects B (reference src/zone_ext.rs:286-293)."""
+    if not bbox_overlaps(bbox(rings_a), bbox(rings_b)):
+        return False
+    pbx, pby = _sample_points(rings_b)
+    if (pip(pbx, pby, rings_a) | on_boundary(pbx, pby, rings_a)).any():
+        return True
+    pax, pay = _sample_points(rings_a)
+    if (pip(pax, pay, rings_b) | on_boundary(pax, pay, rings_b)).any():
+        return True
+    return segments_properly_cross(rings_a, rings_b)
+
+
+def area(rings: list[Ring]) -> float:
+    """Unsigned multipolygon area: exterior rings add, holes subtract."""
+    total = 0.0
+    for _, ring_idx, xs, ys in rings:
+        xs, ys = _close_ring(xs, ys)
+        a = 0.5 * abs(float(np.sum(xs * np.roll(ys, -1) - np.roll(xs, -1) * ys)))
+        total += a if ring_idx == 0 else -a
+    return total
+
+
+def centroid(rings: list[Ring]) -> tuple[float, float] | None:
+    """Area-weighted shoelace centroid; None on degenerate geometry
+    (the NaN guard at reference src/zone_ext.rs:198-207)."""
+    sa = 0.0
+    sx = 0.0
+    sy = 0.0
+    for _, ring_idx, xs, ys in rings:
+        xs, ys = _close_ring(xs, ys)
+        cross = xs * np.roll(ys, -1) - np.roll(xs, -1) * ys
+        a = float(np.sum(cross)) / 2.0
+        sign = 1.0 if ring_idx == 0 else -1.0
+        a = sign * abs(a)
+        if a == 0.0:
+            continue
+        # normalize orientation so the centroid formula is consistent
+        cx = float(np.sum((xs + np.roll(xs, -1)) * cross)) / (3.0 * float(np.sum(cross))) if np.sum(cross) != 0 else 0.0
+        cy = float(np.sum((ys + np.roll(ys, -1)) * cross)) / (3.0 * float(np.sum(cross))) if np.sum(cross) != 0 else 0.0
+        sa += a
+        sx += a * cx
+        sy += a * cy
+    if sa == 0.0 or not np.isfinite(sx / sa) or not np.isfinite(sy / sa):
+        return None
+    return sx / sa, sy / sa
+
+
+def bbox_covered_by(rect, rings: list[Ring]) -> bool:
+    """True iff the axis-aligned rect (minx,miny,maxx,maxy) is fully
+    covered by the multipolygon — used to mark grid cells as FULL so the
+    fact-side PIP refinement can be skipped for them (the big win at
+    10^12 rows: interior cells of a zone need no geometry test)."""
+    minx, miny, maxx, maxy = rect
+    return covers(rings, make_rect(minx, miny, maxx, maxy))
+
+
+# ---------------------------------------------------------------------------
+# (de)serialization between the Spark rings column and numpy rings
+
+
+def rings_to_rows(rings: list[Ring]) -> list[dict]:
+    return [
+        {"poly": int(p), "ring": int(r), "xs": [float(v) for v in xs], "ys": [float(v) for v in ys]}
+        for (p, r, xs, ys) in rings
+    ]
+
+
+def rows_to_rings(rows) -> list[Ring]:
+    out = []
+    for row in rows:
+        if isinstance(row, dict):
+            p, r, xs, ys = row["poly"], row["ring"], row["xs"], row["ys"]
+        else:  # pyspark Row or tuple-like
+            p, r, xs, ys = row[0], row[1], row[2], row[3]
+        out.append((int(p), int(r), np.asarray(xs, dtype=np.float64), np.asarray(ys, dtype=np.float64)))
+    return out
