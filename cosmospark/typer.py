@@ -1,0 +1,193 @@
+"""Zone typing + country lookup as broadcast-join DataFrame jobs.
+
+Reimplements:
+
+* ``CountryFinder`` (src/country_finder.rs:18-48): a zone's country is
+  the ISO3166-1:alpha2-tagged zone with the max admin_level among its
+  inclusion ancestors (itself included), restricted to countries that
+  have a typing rule.
+
+* ``ZoneTyper`` (src/zone_typer.rs:80-160): three-level precedence
+  1. per-osm-id override — may be an explicit NULL ("untyped", the
+     libpostal way of removing a zone, zone_typer.rs:128-130);
+  2. else the first inclusion container that has ``contained_by``
+     sub-rules: evaluate the sub-rules' admin_level map; a sub-rule
+     *miss* falls through to (3) (the ``and_then`` at
+     zone_typer.rs:147-157);
+  3. else the country's default admin_level map.
+
+The reference's "first container in inclusion order" depends on R-tree
+iteration order; we impose the deterministic equivalent: the most
+specific container (max admin_level, then min container id).
+
+Rules are tiny dimension tables (242 countries in libpostal) →
+``F.broadcast`` on every join; the zone side is the only distributed
+operand, so this scales to any zone-table size with zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+# sentinel for "explicitly untyped by libpostal" (override value null);
+# lets us distinguish Some(None) from no-override inside coalesce logic
+EXPLICIT_NONE = "__none__"
+
+RULES_LEVELS_SCHEMA = T.StructType(
+    [
+        T.StructField("country", T.StringType(), False),
+        T.StructField("admin_level", T.StringType(), False),
+        T.StructField("zone_type", T.StringType(), False),
+    ]
+)
+RULES_ID_SCHEMA = T.StructType(
+    [
+        T.StructField("country", T.StringType(), False),
+        T.StructField("osm_id", T.StringType(), False),
+        T.StructField("zone_type", T.StringType(), True),  # NULL = explicitly untyped
+    ]
+)
+RULES_CONTAINED_SCHEMA = T.StructType(
+    [
+        T.StructField("country", T.StringType(), False),
+        T.StructField("container_osm_id", T.StringType(), False),
+        T.StructField("admin_level", T.StringType(), False),
+        T.StructField("zone_type", T.StringType(), False),
+    ]
+)
+
+
+def make_rules(
+    spark: SparkSession,
+    levels: list[tuple],
+    id_overrides: list[tuple] = (),
+    contained_by: list[tuple] = (),
+) -> dict[str, DataFrame]:
+    return {
+        "levels": spark.createDataFrame(list(levels), RULES_LEVELS_SCHEMA),
+        "id_overrides": spark.createDataFrame(list(id_overrides), RULES_ID_SCHEMA),
+        "contained_by": spark.createDataFrame(list(contained_by), RULES_CONTAINED_SCHEMA),
+    }
+
+
+def find_countries(zones: DataFrame, rules: dict[str, DataFrame]) -> DataFrame:
+    """(id, iso, country_level): zones that are countries per the
+    COUNTRY_CODE_TAG + has-rule filter (country_finder.rs:18-39)."""
+    rule_countries = rules["levels"].select("country").distinct()
+    return (
+        zones.select(
+            "id",
+            F.upper(F.col("tags")["ISO3166-1:alpha2"]).alias("iso"),
+            F.coalesce(F.col("admin_level"), F.lit(0)).alias("country_level"),
+        )
+        .filter(F.col("iso").isNotNull())
+        .join(F.broadcast(rule_countries), F.col("iso") == F.col("country"), "left_semi")
+    )
+
+
+def assign_country(zones: DataFrame, inclusions: DataFrame, rules: dict[str, DataFrame]) -> DataFrame:
+    """Add ``country_code``: max-admin_level country among inclusion
+    ancestors ∪ self (country_finder.rs:41-48). Tie-break: max zone id
+    (Rust max_by_key keeps the last maximum; self comes last)."""
+    countries = find_countries(zones, rules)
+
+    self_edges = zones.select(F.col("id").alias("child"), F.col("id").alias("parent"))
+    edges = inclusions.select("child", "parent").unionByName(self_edges)
+
+    matched = edges.join(
+        F.broadcast(countries.withColumnRenamed("id", "parent")), "parent"
+    )
+    cc = matched.groupBy("child").agg(
+        F.max_by("iso", F.struct(F.col("country_level"), F.col("parent"))).alias("country_code")
+    )
+    return zones.join(cc.withColumnRenamed("child", "id"), "id", "left")
+
+
+def type_zones(zones: DataFrame, inclusions: DataFrame, rules: dict[str, DataFrame]) -> DataFrame:
+    """Set ``zone_type`` by the three-level libpostal precedence.
+
+    Input zones must already carry ``country_code`` (see assign_country).
+    Zones with no country, unknown level, or an explicit-NULL override end
+    with zone_type NULL (the reference's error paths → untyped,
+    src/lib.rs:146-181), to be dropped by clean_untagged_zones.
+    """
+    lvl = F.coalesce(F.col("admin_level"), F.lit(0)).cast("string")
+
+    # (1) id overrides — encode explicit NULL as sentinel so a later
+    # coalesce can't confuse it with "no override"
+    id_ov = rules["id_overrides"].select(
+        F.col("country").alias("_ov_country"),
+        F.col("osm_id").alias("_ov_osm_id"),
+        F.coalesce(F.col("zone_type"), F.lit(EXPLICIT_NONE)).alias("_ov_type"),
+    )
+    z = zones.join(
+        F.broadcast(id_ov),
+        (F.col("country_code") == F.col("_ov_country")) & (F.col("osm_id") == F.col("_ov_osm_id")),
+        "left",
+    ).drop("_ov_country", "_ov_osm_id")
+
+    # (2) contained_by: pick the most specific container that HAS
+    # sub-rules, then evaluate its admin_level sub-map for this zone
+    containers = (
+        rules["contained_by"]
+        .select(F.col("country").alias("_cb_country"), F.col("container_osm_id"))
+        .distinct()
+    )
+    parent_ids = zones.select(
+        F.col("id").alias("parent"),
+        F.col("osm_id").alias("_p_osm_id"),
+        F.coalesce(F.col("admin_level"), F.lit(0)).alias("_p_level"),
+    )
+    child_cc = zones.select(F.col("id").alias("child"), F.col("country_code").alias("_c_cc"))
+    cand = (
+        inclusions.join(parent_ids, "parent")
+        .join(F.broadcast(containers), F.col("_p_osm_id") == F.col("container_osm_id"))
+        .join(child_cc, "child")
+        .filter(F.col("_cb_country") == F.col("_c_cc"))
+    )
+    chosen = cand.groupBy("child").agg(
+        F.max_by(
+            "container_osm_id", F.struct(F.col("_p_level"), -F.col("parent"))
+        ).alias("_chosen_container")
+    )
+    z = z.join(chosen.withColumnRenamed("child", "id"), "id", "left")
+
+    sub_rules = rules["contained_by"].select(
+        F.col("country").alias("_sr_country"),
+        F.col("container_osm_id").alias("_sr_container"),
+        F.col("admin_level").alias("_sr_level"),
+        F.col("zone_type").alias("_sr_type"),
+    )
+    z = z.join(
+        F.broadcast(sub_rules),
+        (F.col("country_code") == F.col("_sr_country"))
+        & (F.col("_chosen_container") == F.col("_sr_container"))
+        & (lvl == F.col("_sr_level")),
+        "left",
+    ).drop("_sr_country", "_sr_container", "_sr_level")
+
+    # (3) country default admin_level map
+    defaults = rules["levels"].select(
+        F.col("country").alias("_df_country"),
+        F.col("admin_level").alias("_df_level"),
+        F.col("zone_type").alias("_df_type"),
+    )
+    z = z.join(
+        F.broadcast(defaults),
+        (F.col("country_code") == F.col("_df_country")) & (lvl == F.col("_df_level")),
+        "left",
+    ).drop("_df_country", "_df_level")
+
+    typed = F.when(
+        F.col("_ov_type").isNotNull(),
+        F.when(F.col("_ov_type") == EXPLICIT_NONE, F.lit(None)).otherwise(F.col("_ov_type")),
+    ).otherwise(F.coalesce(F.col("_sr_type"), F.col("_df_type")))
+
+    return z.withColumn("zone_type", typed).drop(
+        "_ov_type", "_sr_type", "_df_type", "_chosen_container"
+    )
+
+
+def clean_untagged_zones(zones: DataFrame) -> DataFrame:
+    """Drop zones with NULL zone_type (src/lib.rs:196-201)."""
+    return zones.filter(F.col("zone_type").isNotNull())

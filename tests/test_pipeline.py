@@ -1,0 +1,134 @@
+"""Integration test: the synthetic Luxembourg-like world through the full
+build_zones pipeline, mirroring the reference's golden integration test
+structure (tests/cosmogony_test.rs:107-285): level counts, type counts,
+wikidata counts, deep single-zone label assertions, merge re-offsetting,
+and checkpoint resume."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cosmospark.fixtures import LUX_RULES_LEVELS, lux_world
+from cosmospark.merge import merge_zones
+from cosmospark.pipeline import build_zones, read_zones, write_zones
+from cosmospark.stats import compute_stats
+from cosmospark.typer import make_rules
+from cosmospark.ztypes import ZONES_RAW_SCHEMA
+
+
+@pytest.fixture(scope="module")
+def lux_out(spark):
+    zones_raw = spark.createDataFrame(lux_world(), schema=ZONES_RAW_SCHEMA)
+    rules = make_rules(spark, LUX_RULES_LEVELS)
+    out = build_zones(spark, zones_raw, rules).cache()
+    out.count()
+    return out
+
+
+class TestLuxWorld:
+    def test_zone_count(self, lux_out):
+        # 200 raw - 2 level-10 untyped = 198
+        # (the reference's voronoi-off Luxembourg count is also 198,
+        # tests/cosmogony_test.rs:173)
+        assert lux_out.count() == 198
+
+    def test_level_counts(self, lux_out):
+        got = {
+            r["admin_level"]: r["n"]
+            for r in lux_out.groupBy("admin_level").agg(F.count("*").alias("n")).collect()
+        }
+        # golden structure from tests/cosmogony_test.rs:134-150
+        assert got == {2: 1, 6: 13, 8: 105, 9: 79}
+
+    def test_type_counts(self, lux_out):
+        got = {
+            r["zone_type"]: r["count"] for r in lux_out.groupBy("zone_type").count().collect()
+        }
+        assert got == {
+            "country": 1,
+            "state_district": 13,
+            "city": 105,
+            "suburb": 79,
+        }
+
+    def test_country_codes(self, lux_out):
+        assert lux_out.filter(F.col("country_code") == "LU").count() == 198
+
+    def test_stats(self, lux_out):
+        s = compute_stats(lux_out)
+        assert s["zone_count"] == 198
+        assert s["wikidata_counts"][8] == 53  # even-k communes carry wikidata
+        assert s["wikidata_counts"][2] == 0
+
+    def test_parents(self, lux_out):
+        rows = {r["osm_id"]: r for r in lux_out.collect()}
+        by_id = {r["id"]: r for r in rows.values()}
+        country = rows["relation:2171347"]
+        assert country["parent"] is None
+        # every canton's parent is the country
+        for i in range(13):
+            assert by_id[rows[f"relation:{3000 + i}"]["parent"]]["osm_id"] == "relation:2171347"
+        # commune 0 (strip 0-0) → canton 0
+        assert by_id[rows["relation:4000"]["parent"]]["osm_id"] == "relation:3000"
+        # the 105th commune is inside commune 0-0 but same type → canton 0
+        assert by_id[rows["relation:4104"]["parent"]]["osm_id"] == "relation:3000"
+        # locality 0 → commune 0-0
+        assert by_id[rows["relation:5000"]["parent"]]["osm_id"] == "relation:4000"
+
+    def test_labels(self, lux_out):
+        rows = {r["osm_id"]: r for r in lux_out.collect()}
+        assert rows["relation:4000"]["label"] == "Commune 0-0 (7000), Canton 0, Lëtzebuerg"
+        assert (
+            rows["relation:5000"]["label"]
+            == "Locality 0, Commune 0-0, Canton 0, Lëtzebuerg"
+        )
+        # international label: french name replaces only the country element
+        # (structure mirrors tests/cosmogony_test.rs:225,237-248)
+        assert (
+            rows["relation:5000"]["international_labels"]["fr"]
+            == "Locality 0, Commune 0-0, Canton 0, Luxembourg"
+        )
+
+    def test_roundtrip_jsonl(self, lux_out, spark, tmp_path):
+        path = str(tmp_path / "zones.jsonl")
+        cols = ["id", "osm_id", "admin_level", "zone_type", "name", "parent", "label"]
+        write_zones(lux_out.select(cols), path)
+        back = read_zones(spark, path)
+        assert back.count() == 198
+        assert sorted(back.columns) == sorted(cols)
+
+
+class TestMerge:
+    def test_offsets(self, spark):
+        # merge fixture per FIXTURES.md F5: overlapping dense ids,
+        # offset' = max_id + 1 (src/merger.rs:35-56)
+        a = spark.createDataFrame(
+            [(0, None), (1, 0), (2, 0)], "id long, parent long"
+        )
+        b = spark.createDataFrame([(0, 1), (1, None)], "id long, parent long")
+        c = spark.createDataFrame([(5, None)], "id long, parent long")
+        merged = merge_zones([a, b, c])
+        got = sorted((r["id"], r["parent"]) for r in merged.collect())
+        # b shifted by 3, c shifted by 3 + 2 = 5
+        assert got == [(0, None), (1, 0), (2, 0), (3, 4), (4, None), (10, None)]
+
+
+class TestCheckpointResume:
+    def test_resume_skips_committed_stages(self, spark, tmp_path):
+        from cosmospark import checkpoint as ckpt
+
+        calls = {"n": 0}
+
+        def fn():
+            calls["n"] += 1
+            return spark.range(10).withColumnRenamed("id", "x")
+
+        root = str(tmp_path)
+        df1 = ckpt.run_stage(spark, root, "s1", fn)
+        assert df1.count() == 10
+        df2 = ckpt.run_stage(spark, root, "s1", fn)
+        assert df2.count() == 10
+        assert calls["n"] == 1  # second run resumed from snapshot
+        m = ckpt.read_manifest(root, "s1")
+        assert m["n_rows"] == 10
+        assert m["n_files"] >= 1
+        assert all("rows" in f for f in m["files"])  # per-partition lineage
