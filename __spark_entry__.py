@@ -1,38 +1,51 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship job on sf0.001: derive deterministic geo points
+                from the orders table, H3-encode + PIP-assign them to the
+                198-zone synthetic Luxembourg world via the broadcast
+                ZoneIndex, and return per-zone-type counts.
+queries()     — one entry per implemented operator (SURVEY.md §2 +
+                training-data ops); see cosmospark/queries.py.
+oracle_sql()  — matching DuckDB SQL; omitted for Spark-only ops
+                (minhash/simhash/phash: xxhash64/numpy-codec based).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from cosmospark.assign import assign_zones, encode_points
+    from cosmospark.queries import _lux_typed_zones
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    pts = orders.select(
+        F.col("o_orderkey").alias("pid"),
+        F.expr("2.0 + (o_orderkey * 7919 % 1300) / 100.0").alias("lon"),
+        F.expr("44.0 + (o_orderkey * 104729 % 1000) / 100.0").alias("lat"),
+    )
+    zones = _lux_typed_zones(spark)
+    assigned = assign_zones(encode_points(pts), zones)
+    ztype = zones.select(F.col("id").alias("zone_id"), F.col("zone_type").alias("zone_type"))
+    return (
+        assigned.join(F.broadcast(ztype), "zone_id", "left")
+        .groupBy("zone_type")
+        .agg(F.count("*").alias("n_points"))
+        .orderBy("zone_type")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from cosmospark.queries import queries as _q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _q()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from cosmospark.queries import oracle_sql as _o
+
+    return _o()

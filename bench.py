@@ -1,0 +1,96 @@
+"""Bench harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+The headline metric is the BASELINE.json one: images/sec through
+H3-encode + PIP zone-assignment (synthesized point fact table against the
+198-zone lux world), plus per-query wall times for the operator suite.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_pip = int(os.environ.get("COSMOSPARK_BENCH_PIP_ROWS", "2000000"))
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import functions as F
+
+    from cosmospark.assign import assign_zones, encode_points
+    from cosmospark.queries import _lux_typed_zones, queries
+    from cosmospark.session import get_spark
+
+    spark = get_spark(
+        app_name="cosmospark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # --- headline: H3-encode + PIP assign throughput -----------------------
+    zones = _lux_typed_zones(spark)
+    pts = spark.range(n_pip).select(
+        F.col("id").alias("pid"),
+        F.expr("2.0 + (id * 7919 % 1300) / 100.0").alias("lon"),
+        F.expr("44.0 + (id * 104729 % 1000) / 100.0").alias("lat"),
+    )
+    # warm up the session (JVM + python workers) so the metric measures
+    # steady-state throughput, not daemon spawn
+    assign_zones(encode_points(pts.limit(20000)), zones).count()
+
+    t0 = time.time()
+    n_assigned = assign_zones(encode_points(pts), zones).filter(
+        F.col("zone_id") >= 0
+    ).count()
+    pip_sec = time.time() - t0
+    timings["pip_assign"] = round(pip_sec, 3)
+    images_per_sec = n_pip / pip_sec if pip_sec > 0 else 0.0
+
+    # --- operator suite -----------------------------------------------------
+    suite = [
+        "pricing_summary",
+        "stats_counts",
+        "topk_per_group",
+        "hierarchy_label",
+        "geo_pip_assign",
+        "geo_multires_rollup",
+        "geo_parent_hierarchy",
+        "dedup_exact",
+        "ngram_jaccard",
+        "doc_fingerprint",
+        "ann_brute_force",
+        "minhash_lsh_pairs",
+    ]
+    qs = queries()
+    for name in suite:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "total_bench_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "pip_rows": n_pip,
+        "images_per_sec": round(images_per_sec),
+        "pip_assigned_rows": n_assigned,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

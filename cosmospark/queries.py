@@ -1,0 +1,864 @@
+"""Driver-contract queries: each operator from SURVEY.md §2 exposed as a
+(spark, sf_dir) → DataFrame callable plus a DuckDB oracle SQL string.
+
+Determinism rules (the driver hash-compares values):
+* money sums in integer cents (BIGINT), never float sums;
+* float outputs rounded after exact/sequential computation;
+* every computed column aliased identically in Spark and SQL;
+* synthesized geo inputs built from *shared integer arithmetic* (both
+  engines compute the same doubles bit-for-bit) — no RNG.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cosmospark import cells
+from cosmospark.assign import assign_zones, encode_points, rollup_cells
+from cosmospark.fixtures import four_squares_zones, lux_world
+from cosmospark.hierarchy import build_hierarchy, find_inclusions, with_bbox_and_area
+from cosmospark.ztypes import TYPE_RANK, ZONES_RAW_SCHEMA
+
+# ---------------------------------------------------------------------------
+# shared synthetic geo inputs (identical arithmetic in Spark + DuckDB)
+
+N_PTS = 4000
+
+# level → zone_type for the lux world (LUX_RULES_LEVELS)
+_LEVEL_TYPE = {2: "country", 6: "state_district", 8: "city", 9: "suburb"}
+
+
+def _pts_df(spark: SparkSession) -> DataFrame:
+    return spark.range(N_PTS).select(
+        F.col("id").alias("pid"),
+        F.expr("2.0 + (id * 7919 % 1300) / 100.0").alias("lon"),
+        F.expr("44.0 + (id * 104729 % 1000) / 100.0").alias("lat"),
+    )
+
+
+PTS_SQL = (
+    f"SELECT i AS pid, 2.0 + (i * 7919 % 1300) / 100.0 AS lon, "
+    f"44.0 + (i * 104729 % 1000) / 100.0 AS lat FROM range({N_PTS}) t(i)"
+)
+
+
+@functools.lru_cache(maxsize=4)
+def _lux_typed_rows() -> tuple:
+    """lux_world zones with types resolved from admin_level (drops the
+    two untyped level-10 rows) — hashable tuple for lru_cache."""
+    rows = []
+    for z in lux_world():
+        zt = _LEVEL_TYPE.get(z["admin_level"])
+        if zt is None:
+            continue
+        z = dict(z)
+        z["zone_type"] = zt
+        rows.append(z)
+    return tuple((r["id"], r) for r in rows)
+
+
+def _lux_typed_zones(spark: SparkSession) -> DataFrame:
+    rows = [r for _, r in _lux_typed_rows()]
+    return spark.createDataFrame(rows, schema=ZONES_RAW_SCHEMA)
+
+
+def _zones_values_sql() -> str:
+    """The typed lux zones as a SQL VALUES table (rectangles only):
+    z(id, minx, miny, maxx, maxy, rank, area, ztype)."""
+    vals = []
+    for _, r in _lux_typed_rows():
+        b = r["bbox"]
+        area = (b["maxx"] - b["minx"]) * (b["maxy"] - b["miny"])
+        vals.append(
+            f"({r['id']}, {b['minx']!r}, {b['miny']!r}, {b['maxx']!r}, {b['maxy']!r}, "
+            f"{TYPE_RANK[r['zone_type']]}, {area!r}, '{r['zone_type']}')"
+        )
+    return (
+        "(VALUES " + ", ".join(vals) + ") AS z(id, minx, miny, maxx, maxy, rank, area, ztype)"
+    )
+
+
+def _pip_oracle_core() -> str:
+    """Shared oracle CTE: pid → (zone_id, ztype) via rectangle PIP +
+    (rank, area, id) argmin — the relational mirror of ZoneIndex.assign."""
+    return f"""
+WITH pts AS ({PTS_SQL}),
+zones AS (SELECT * FROM {_zones_values_sql()}),
+cand AS (
+  SELECT p.pid, z.id, z.rank, z.area, z.ztype
+  FROM pts p JOIN zones z
+    ON p.lon BETWEEN z.minx AND z.maxx AND p.lat BETWEEN z.miny AND z.maxy
+),
+ranked AS (
+  SELECT pid, id, ztype,
+         row_number() OVER (PARTITION BY pid ORDER BY rank, area, id) AS rn
+  FROM cand
+),
+assigned AS (SELECT pid, id AS zone_id, ztype FROM ranked WHERE rn = 1)
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational operators over the driver's TPC-H-ish tables
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q_pricing_summary(spark, sf_dir):
+    """A2/P6-style grouped aggregation (TPC-H Q1 shape) with exact
+    integer-cent sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("sum_base_cents"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                * F.round(F.col("l_discount") * 100).cast("bigint")
+            ).alias("disc_weight"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * CAST(ROUND(l_discount * 100) AS BIGINT)) AS disc_weight,
+       COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_stats_counts(spark, sf_dir):
+    """A2: counts + null-skipping count(col) (model.rs:41-44 analog)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("total_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+SQL_STATS = """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS n_custs,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def q_merge_offsets(spark, sf_dir):
+    """S7/J8: shard concat with running max_id+1 re-offsetting
+    (src/merger.rs:35-56) expressed over nation split into two shards."""
+    n = _t(spark, sf_dir, "nation")
+    a = n.filter(F.col("n_regionkey") < 2).select(
+        F.col("n_nationkey").alias("id"), "n_name"
+    )
+    b = n.filter(F.col("n_regionkey") >= 2).select(
+        F.col("n_nationkey").alias("id"), "n_name"
+    )
+    mx = a.agg(F.max("id")).collect()[0][0]
+    off = (mx if mx is not None else -1) + 1
+    merged = a.unionByName(b.withColumn("id", F.col("id") + F.lit(off)))
+    return merged.orderBy("id")
+
+
+SQL_MERGE = """
+WITH a AS (SELECT n_nationkey AS id, n_name FROM nation WHERE n_regionkey < 2),
+b AS (SELECT n_nationkey AS id, n_name FROM nation WHERE n_regionkey >= 2),
+off AS (SELECT COALESCE(MAX(id), -1) + 1 AS v FROM a)
+SELECT id, n_name FROM a
+UNION ALL
+SELECT b.id + off.v AS id, n_name FROM b, off
+ORDER BY id
+"""
+
+
+def q_country_maxby(spark, sf_dir):
+    """J3/A3: max_by — richest customer name per nation
+    (country_finder.rs:41-48 shape)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.max_by("c_name", F.struct(F.col("c_acctbal"), F.col("c_custkey"))).alias("top_cust"))
+        .orderBy("n_name")
+    )
+
+
+SQL_MAXBY = """
+SELECT n_name, c_name AS top_cust FROM (
+  SELECT n_name, c_name,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
+  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+WHERE rn = 1 ORDER BY n_name
+"""
+
+
+def q_parent_minby(spark, sf_dir):
+    """J6/A4: min_by with struct tie-break (hierarchy_builder.rs:127) —
+    cheapest part name per brand."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.groupBy("p_brand")
+        .agg(F.min_by("p_name", F.struct(F.col("p_retailprice"), F.col("p_partkey"))).alias("cheapest"))
+        .orderBy("p_brand")
+    )
+
+
+SQL_MINBY = """
+SELECT p_brand, p_name AS cheapest FROM (
+  SELECT p_brand, p_name,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice, p_partkey) AS rn
+  FROM part) WHERE rn = 1 ORDER BY p_brand
+"""
+
+
+def q_topk_per_group(spark, sf_dir):
+    """W2/O2: top-1-with-predicate as row_number over a window
+    (additional_zones.rs:102-120 shape) — top-3 customers per nation."""
+    from pyspark.sql.window import Window
+
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("c_nationkey", "rk", "c_custkey")
+        .orderBy("c_nationkey", "rk")
+    )
+
+
+SQL_TOPK = """
+SELECT c_nationkey, rk, c_custkey FROM (
+  SELECT c_nationkey, c_custkey,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey) AS rk
+  FROM customer) WHERE rk <= 3 ORDER BY c_nationkey, rk
+"""
+
+
+def q_dense_ids(spark, sf_dir):
+    """W1: dense id assignment in stable key order (src/lib.rs:77,86 —
+    BTreeMap order → explicit orderBy here)."""
+    from pyspark.sql.window import Window
+
+    n = _t(spark, sf_dir, "nation")
+    return n.select(
+        (F.row_number().over(Window.orderBy("n_name")) - 1).alias("dense_id"), "n_name"
+    ).orderBy("dense_id")
+
+
+SQL_DENSE = """
+SELECT row_number() OVER (ORDER BY n_name) - 1 AS dense_id, n_name
+FROM nation ORDER BY dense_id
+"""
+
+
+def q_hierarchy_label(spark, sf_dir):
+    """W3/A5-lite: 3-level chain labels via joins (customer → nation →
+    region), concat_ws like create_lbl (zone_ext.rs:365-375)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "c_custkey",
+            F.concat_ws(", ", "c_name", "n_name", "r_name").alias("label"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+SQL_LABEL = """
+SELECT c_custkey, concat_ws(', ', c_name, n_name, r_name) AS label
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_custkey < 100 ORDER BY c_custkey
+"""
+
+
+def q_group_collect(spark, sf_dir):
+    """A1: grouped collect (additional_zones.rs:74-83) — deterministic as
+    a sorted joined string."""
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        s.groupBy("s_nationkey")
+        .agg(F.array_join(F.array_sort(F.collect_list("s_name")), "|").alias("members"))
+        .orderBy("s_nationkey")
+    )
+
+
+SQL_COLLECT = """
+SELECT s_nationkey, string_agg(s_name, '|' ORDER BY s_name) AS members
+FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+"""
+
+
+def q_json_extract(spark, sf_dir):
+    """Tag-map access analog (P1 tag munging): JSON field extraction over
+    events.props."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+        )
+        .filter(F.col("k_val") > 50)
+        .orderBy("event_id")
+    )
+
+
+SQL_JSON = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+ORDER BY event_id
+"""
+
+
+def q_zip_format(spark, sf_dir):
+    """P5: the zip-code label formatter (zone_ext.rs:385-395) applied to
+    word prefixes of documents."""
+    d = _t(spark, sf_dir, "documents")
+    words = "slice(split(text, ' '), 1, least(size(split(text, ' ')), 3))"
+    fmt = (
+        f"case when size({words}) = 0 then '' "
+        f"when size({words}) = 1 then concat(' (', {words}[0], ')') "
+        f"else concat(' (', {words}[0], '-', element_at({words}, -1), ')') end"
+    )
+    return d.select("doc_id", F.expr(fmt).alias("zip_label")).orderBy("doc_id")
+
+
+SQL_ZIP = """
+WITH w AS (SELECT doc_id, string_split(text, ' ')[1:3] AS ws FROM documents)
+SELECT doc_id,
+  CASE WHEN len(ws) = 0 THEN ''
+       WHEN len(ws) = 1 THEN concat(' (', ws[1], ')')
+       ELSE concat(' (', ws[1], '-', ws[len(ws)], ')') END AS zip_label
+FROM w ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# geo operators (the engine itself vs relational oracles)
+
+
+def q_geo_pip_assign(spark, sf_dir):
+    """J2 — THE flagship operator: point-in-polygon zone assignment of
+    the synthesized point set against the 198-zone lux world, via the
+    broadcast ZoneIndex + Arrow-batch numpy kernel."""
+    zones = _lux_typed_zones(spark)
+    out = assign_zones(_pts_df(spark), zones)
+    return out.select("pid", "zone_id").orderBy("pid")
+
+
+def sql_geo_pip_assign():
+    return _pip_oracle_core() + "SELECT pid, zone_id FROM assigned ORDER BY pid"
+
+
+def q_geo_zone_counts(spark, sf_dir):
+    """J2+A2: assignment → per-zone-type counts (grouped agg on the
+    assignment output)."""
+    zones = _lux_typed_zones(spark)
+    out = assign_zones(_pts_df(spark), zones)
+    ztype = zones.select(F.col("id").alias("zone_id"), F.col("zone_type").alias("ztype"))
+    return (
+        out.join(F.broadcast(ztype), "zone_id")
+        .groupBy("ztype")
+        .agg(F.count("*").alias("n"))
+        .orderBy("ztype")
+    )
+
+
+def sql_geo_zone_counts():
+    return (
+        _pip_oracle_core()
+        + "SELECT ztype, COUNT(*) AS n FROM assigned GROUP BY ztype ORDER BY ztype"
+    )
+
+
+def q_geo_cell_encode(spark, sf_dir):
+    """The H3-style cell encoder (numpy path) vs the same Morton
+    arithmetic in SQL — per-cell point counts at res 7."""
+    enc = encode_points(_pts_df(spark), resolutions=(7,), tile_z=12)
+    return enc.groupBy(F.col("cell_r7").alias("cell")).agg(F.count("*").alias("n")).orderBy("cell")
+
+
+def sql_geo_cell_encode():
+    expr = cells.sql_cell_encode("lon", "lat", 7)
+    return (
+        f"WITH pts AS ({PTS_SQL}) SELECT {expr} AS cell, COUNT(*) AS n "
+        f"FROM pts GROUP BY 1 ORDER BY cell"
+    )
+
+
+def q_geo_multires_rollup(spark, sf_dir):
+    """The hierarchical (cell, zone_type) rollup: finest-level agg then
+    prefix-shift reduces (never rescans the fact side)."""
+    zones = _lux_typed_zones(spark)
+    pts = encode_points(_pts_df(spark), resolutions=(4, 7, 9), tile_z=12)
+    assigned = assign_zones(pts, zones)
+    ztype = zones.select(F.col("id").alias("zone_id"), F.col("zone_type").alias("zone_type"))
+    assigned = assigned.join(F.broadcast(ztype), "zone_id")
+    roll = rollup_cells(assigned, resolutions=(4, 7, 9))
+    return (
+        roll.groupBy("res", "zone_type")
+        .agg(F.sum("n").alias("n"))
+        .orderBy("res", "zone_type")
+    )
+
+
+def sql_geo_multires_rollup():
+    parts = []
+    for res in (4, 7, 9):
+        expr = cells.sql_cell_encode("lon", "lat", res)
+        parts.append(
+            f"SELECT {res} AS res, ztype AS zone_type, {expr} AS cell "
+            f"FROM assigned JOIN pts USING (pid)"
+        )
+    union = " UNION ALL ".join(parts)
+    return (
+        _pip_oracle_core()
+        + f", cells3 AS ({union}) "
+        "SELECT res, zone_type, COUNT(*) AS n FROM cells3 "
+        "GROUP BY res, zone_type ORDER BY res, zone_type"
+    )
+
+
+def q_geo_parent_hierarchy(spark, sf_dir):
+    """J1+J5+J6 — the containment self-join + smallest-parent argmin on
+    the reference's own four-squares fixture
+    (src/hierarchy_builder.rs:157-217)."""
+    zones = with_bbox_and_area(
+        spark.createDataFrame(four_squares_zones(), schema=ZONES_RAW_SCHEMA)
+    )
+    inclusions = find_inclusions(zones)
+    out = build_hierarchy(zones, inclusions)
+    return out.select("id", "parent").orderBy("id")
+
+
+def sql_geo_parent_hierarchy():
+    rows = []
+    for z in four_squares_zones():
+        b = z["bbox"]
+        area = (b["maxx"] - b["minx"]) * (b["maxy"] - b["miny"])
+        admin = "true" if z["zone_type"] not in (None, "non_administrative") else "false"
+        rank = TYPE_RANK.get(z["zone_type"], -1)
+        rows.append(
+            f"({z['id']}, {b['minx']!r}, {b['miny']!r}, {b['maxx']!r}, {b['maxy']!r}, "
+            f"{rank}, {area!r}, {admin})"
+        )
+    values = ", ".join(rows)
+    return f"""
+WITH z(id, minx, miny, maxx, maxy, rank, area, admin) AS (VALUES {values}),
+cand AS (
+  SELECT c.id AS cid, p.id AS pid, p.rank AS prank, p.area AS parea
+  FROM z c JOIN z p ON c.id != p.id
+   AND p.minx <= c.minx AND p.miny <= c.miny
+   AND p.maxx >= c.maxx AND p.maxy >= c.maxy
+   AND p.admin AND (NOT c.admin OR c.rank < p.rank)
+),
+ranked AS (
+  SELECT cid, pid, row_number() OVER (PARTITION BY cid ORDER BY prank, parea, pid) AS rn
+  FROM cand)
+SELECT z.id, r.pid AS parent FROM z
+LEFT JOIN ranked r ON r.cid = z.id AND r.rn = 1
+ORDER BY z.id
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline operators (documents / embeddings)
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content, keep min doc_id."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("text")
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies"))
+        .select("keeper", "n_copies")
+        .orderBy("keeper")
+    )
+
+
+SQL_DEDUP = """
+SELECT MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+FROM documents GROUP BY text ORDER BY keeper
+"""
+
+
+def q_token_count(spark, sf_dir):
+    """Token counting: whitespace tokens + alpha-word tokens."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_ws_tokens"),
+        F.size(F.expr("regexp_extract_all(text, '[a-zA-Z]+', 0)")).cast("bigint").alias("n_words"),
+    ).orderBy("doc_id")
+
+
+SQL_TOKENS = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+', 0)) AS BIGINT) AS n_words
+FROM documents ORDER BY doc_id
+"""
+
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+
+def q_quality_score(spark, sf_dir):
+    """Quality scoring: length, word count, stopword ratio (exact
+    rational → rounded), uppercase-start flag."""
+    d = _t(spark, sf_dir, "documents")
+    sw = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    words = "split(text, ' ')"
+    n_stop = f"size(filter({words}, w -> w in ({sw})))"
+    return d.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars_out"),
+        F.expr(f"size({words})").cast("bigint").alias("n_words"),
+        F.round(F.expr(f"{n_stop} / size({words})"), 4).alias("stop_ratio"),
+    ).orderBy("doc_id")
+
+
+def sql_quality_score():
+    sw = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    return f"""
+WITH w AS (SELECT doc_id, n_chars, string_split(text, ' ') AS ws FROM documents)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars_out,
+       CAST(len(ws) AS BIGINT) AS n_words,
+       ROUND(len(list_filter(ws, x -> x IN ({sw}))) / len(ws), 4) AS stop_ratio
+FROM w ORDER BY doc_id
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Near-dup detection: word-set Jaccard over same-source pairs
+    (exact rational arithmetic → identical rounding both sides)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    w = d.select(
+        "doc_id", "source", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    )
+    sizes = w.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = w.alias("a")
+    b = w.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jac", F.round(F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 4))
+        .filter(F.col("jac") >= 0.5)
+        .select("doc_a", "doc_b", "jac")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+SQL_JACCARD = """
+WITH w AS (
+  SELECT DISTINCT doc_id, source, unnest(string_split(text, ' ')) AS w
+  FROM documents),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM w GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM w a JOIN w b ON a.w = b.w AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       ROUND(inter / (sa.sz + sb.sz - inter), 4) AS jac
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ROUND(inter / (sa.sz + sb.sz - inter), 4) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting: order-independent bag hash from word
+    lengths + first-char codes (pure integer arithmetic both sides)."""
+    d = _t(spark, sf_dir, "documents")
+    fp = (
+        "aggregate(split(text, ' '), 0L, (acc, w) -> "
+        "(acc + length(w) * 31 + coalesce(ascii(substring(w, 1, 1)), 0)) % 1000000007)"
+    )
+    return d.select("doc_id", F.expr(fp).alias("fingerprint")).orderBy("doc_id")
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id,
+       list_aggregate(
+         list_transform(string_split(text, ' '),
+                        w -> CAST(length(w) * 31 + COALESCE(ascii(substring(w, 1, 1)), 0) AS BIGINT)),
+         'sum') % 1000000007 AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_ann_brute_force(spark, sf_dir):
+    """Similarity search baseline: exact top-10 cosine neighbors of
+    vec_id 0, computed with sequential fold both sides (bit-identical)."""
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    qlit = "array(" + ", ".join(repr(float(v)) + "D" for v in qvec) + ")"
+    dot = f"aggregate(zip_with(embedding, {qlit}, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+    nrm = "sqrt(aggregate(embedding, 0D, (a, x) -> a + x * x))"
+    qn = float(np.sqrt(np.sum(np.asarray(qvec, dtype=np.float64) ** 2)))
+    cos = f"round({dot} / ({nrm} * {qn!r}), 6)"
+    from pyspark.sql.window import Window
+
+    scored = e.filter(F.col("vec_id") != 0).select(
+        "vec_id", F.expr(cos).alias("cos_sim")
+    )
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("rk", "vec_id", "cos_sim")
+        .orderBy("rk")
+    )
+
+
+def sql_ann_brute_force(qvec):
+    qlit = "[" + ", ".join(repr(float(v)) for v in qvec) + "]"
+    qn = float(np.sqrt(np.sum(np.asarray(qvec, dtype=np.float64) ** 2)))
+    dot = f"list_aggregate(list_transform(list_zip(embedding, {qlit}), p -> p[1] * p[2]), 'sum')"
+    nrm = "sqrt(list_aggregate(list_transform(embedding, x -> x * x), 'sum'))"
+    return f"""
+WITH scored AS (
+  SELECT vec_id, ROUND({dot} / ({nrm} * {qn!r}), 6) AS cos_sim
+  FROM embeddings WHERE vec_id != 0)
+SELECT rk, vec_id, cos_sim FROM (
+  SELECT vec_id, cos_sim,
+         row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rk
+  FROM scored) WHERE rk <= 10 ORDER BY rk
+"""
+
+
+def q_embedding_stats(spark, sf_dir):
+    """Grouped vector stats: per label count + mean of first component
+    (rounded after the agg to absorb summation-order noise)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(F.element_at("embedding", 1)), 4).alias("mean_d0"),
+        )
+        .orderBy("label")
+    )
+
+
+SQL_EMB_STATS = """
+SELECT label, COUNT(*) AS n, ROUND(AVG(embedding[1]), 4) AS mean_d0
+FROM embeddings GROUP BY label ORDER BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# Spark-only operators (no SQL oracle → driver does rows-only checks)
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup candidates: 3-shingles → 16 minhashes
+    (xxhash64 with seeds) → 4 bands × 4 rows → band-bucket join →
+    exact Jaccard verification ≥ 0.4. Not SQL-expressible (xxhash64)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split("text", " ")
+    sh = F.expr(
+        "transform(sequence(0, size(split(text, ' ')) - 3), "
+        "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"
+    )
+    shingled = d.select("doc_id", F.array_distinct(sh).alias("shingles")).filter(
+        F.size("shingles") > 0
+    )
+    n_hash, n_bands = 16, 4
+    mh_cols = [
+        F.expr(
+            f"array_min(transform(shingles, s -> xxhash64(s, {seed})))"
+        ).alias(f"mh{seed}")
+        for seed in range(n_hash)
+    ]
+    sig = shingled.select("doc_id", "shingles", *mh_cols)
+    rows_per_band = n_hash // n_bands
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        bands.append(
+            sig.select(
+                "doc_id", F.lit(b).alias("band"), F.xxhash64(*cols).alias("bucket")
+            )
+        )
+    from functools import reduce
+
+    banded = reduce(lambda a, c: a.unionByName(c), bands)
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh_a = shingled.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sh_b = shingled.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn(
+            "jac",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ),
+        )
+        .filter(F.col("jac") >= 0.4)
+        .select("doc_a", "doc_b", "jac")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash fingerprints: 64-bit sign-aggregated word hashes; pairs at
+    hamming ≤ 12 within same source would be near-dups. Returns the
+    fingerprints (xxhash64-based → Spark-only)."""
+    d = _t(spark, sf_dir, "documents")
+    bits = []
+    for i in range(16):  # 16-bit simhash (demo width, same construction)
+        bit = F.expr(
+            f"case when aggregate(split(text, ' '), 0L, "
+            f"(acc, w) -> acc + (case when (xxhash64(w) >> {i}) % 2 = 0 then -1 else 1 end)) > 0 "
+            f"then shiftleft(1L, {i}) else 0L end"
+        )
+        bits.append(bit)
+    fp = bits[0]
+    for b in bits[1:]:
+        fp = fp.bitwiseOR(b)
+    return d.select("doc_id", fp.alias("simhash")).orderBy("doc_id")
+
+
+def q_phash_neardup(spark, sf_dir):
+    """Embedding-free image near-dup: hamming distance between phash
+    values of the synthesized image table (codec + phash are Spark-side
+    numpy — no SQL analog)."""
+    from cosmospark.fixtures import gen_images
+    from cosmospark.ztypes import IMAGES_SCHEMA
+
+    imgs = spark.createDataFrame(gen_images(200, seed=3), schema=IMAGES_SCHEMA)
+    a = imgs.select(F.col("image_id").alias("id_a"), F.col("phash").alias("pa"))
+    b = imgs.select(F.col("image_id").alias("id_b"), F.col("phash").alias("pb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("ham", F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))))
+        .filter(F.col("ham") <= 8)
+        .select("id_a", "id_b", "ham")
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+
+def queries() -> dict:
+    return {
+        "pricing_summary": q_pricing_summary,
+        "stats_counts": q_stats_counts,
+        "merge_offsets": q_merge_offsets,
+        "country_maxby": q_country_maxby,
+        "parent_minby": q_parent_minby,
+        "topk_per_group": q_topk_per_group,
+        "dense_ids": q_dense_ids,
+        "hierarchy_label": q_hierarchy_label,
+        "group_collect": q_group_collect,
+        "json_extract": q_json_extract,
+        "zip_format": q_zip_format,
+        "geo_pip_assign": q_geo_pip_assign,
+        "geo_zone_counts": q_geo_zone_counts,
+        "geo_cell_encode": q_geo_cell_encode,
+        "geo_multires_rollup": q_geo_multires_rollup,
+        "geo_parent_hierarchy": q_geo_parent_hierarchy,
+        "dedup_exact": q_dedup_exact,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "ngram_jaccard": q_ngram_jaccard,
+        "doc_fingerprint": q_doc_fingerprint,
+        "ann_brute_force": q_ann_brute_force,
+        "embedding_stats": q_embedding_stats,
+        # Spark-only (rows-only checks)
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "phash_neardup": q_phash_neardup,
+    }
+
+
+def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
+    import duckdb
+
+    qvec = (
+        duckdb.sql(f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' WHERE vec_id = 0")
+        .fetchone()[0]
+    )
+    return {
+        "pricing_summary": SQL_PRICING,
+        "stats_counts": SQL_STATS,
+        "merge_offsets": SQL_MERGE,
+        "country_maxby": SQL_MAXBY,
+        "parent_minby": SQL_MINBY,
+        "topk_per_group": SQL_TOPK,
+        "dense_ids": SQL_DENSE,
+        "hierarchy_label": SQL_LABEL,
+        "group_collect": SQL_COLLECT,
+        "json_extract": SQL_JSON,
+        "zip_format": SQL_ZIP,
+        "geo_pip_assign": sql_geo_pip_assign(),
+        "geo_zone_counts": sql_geo_zone_counts(),
+        "geo_cell_encode": sql_geo_cell_encode(),
+        "geo_multires_rollup": sql_geo_multires_rollup(),
+        "geo_parent_hierarchy": sql_geo_parent_hierarchy(),
+        "dedup_exact": SQL_DEDUP,
+        "token_count": SQL_TOKENS,
+        "quality_score": sql_quality_score(),
+        "ngram_jaccard": SQL_JACCARD,
+        "doc_fingerprint": SQL_FINGERPRINT,
+        "ann_brute_force": sql_ann_brute_force(qvec),
+        "embedding_stats": SQL_EMB_STATS,
+    }

@@ -1,0 +1,141 @@
+"""Fact-side assignment tests: PIP zone assignment vs a brute-force numpy
+oracle, multi-resolution cell encoding, tiles, and the rollup."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cosmospark import cells, geom
+from cosmospark.assign import (
+    ZoneIndex,
+    assign_images,
+    assign_zones,
+    build_zone_index,
+    encode_points,
+    rollup_cells,
+    salted_count,
+)
+from cosmospark.fixtures import LUX_RULES_LEVELS, gen_images, lux_world
+from cosmospark.pipeline import build_zones
+from cosmospark.typer import make_rules
+from cosmospark.ztypes import IMAGES_SCHEMA, TYPE_RANK, ZONES_RAW_SCHEMA
+
+
+def brute_force_assign(zone_rows, lon, lat):
+    """Oracle: for each point, smallest (type_rank, area, id) zone whose
+    geometry covers it."""
+    out = np.full(len(lon), -1, dtype=np.int64)
+    best = [None] * len(lon)
+    for row in zone_rows:
+        if row["rings"] is None or row["zone_type"] is None:
+            continue
+        rings = geom.rows_to_rings(row["rings"])
+        hit = geom.pip_covers(np.asarray(lon), np.asarray(lat), rings)
+        key = (TYPE_RANK.get(row["zone_type"], 99), geom.area(rings), row["id"])
+        for i in np.nonzero(hit)[0]:
+            if best[i] is None or key < best[i]:
+                best[i] = key
+                out[i] = row["id"]
+    return out
+
+
+@pytest.fixture(scope="module")
+def lux_zones(spark):
+    raw = spark.createDataFrame(lux_world(), schema=ZONES_RAW_SCHEMA)
+    rules = make_rules(spark, LUX_RULES_LEVELS)
+    z = build_zones(spark, raw, rules).cache()
+    z.count()
+    return z
+
+
+class TestZoneIndex:
+    def test_assign_matches_brute_force(self, lux_zones):
+        rows = [
+            r.asDict(recursive=True)
+            for r in lux_zones.select("id", "zone_type", "rings").collect()
+        ]
+        idx = ZoneIndex(rows)
+        rng = np.random.default_rng(11)
+        lon = rng.uniform(1.0, 16.0, 3000)  # includes points outside the world
+        lat = rng.uniform(43.0, 55.0, 3000)
+        got = idx.assign(lon, lat)
+        exp = brute_force_assign(rows_with_types(lux_zones), lon, lat)
+        assert (got == exp).all()
+
+    def test_full_cells_exist(self, lux_zones):
+        # the FULL-cell optimization must actually trigger (interior
+        # cells of communes at res>=9)
+        idx = build_zone_index(lux_zones)
+        n_full = sum(int(f.sum()) for (_, _, _, f) in idx.csr.values())
+        assert n_full > 0
+
+    def test_knn_fallback(self, lux_zones):
+        idx = build_zone_index(lux_zones)
+        # a point well outside every zone gets its nearest zone via kNN
+        got = idx.assign(np.array([30.0]), np.array([60.0]), knn_fallback=True)
+        assert got[0] != -1
+
+
+def rows_with_types(zdf):
+    return [r.asDict(recursive=True) for r in zdf.select("id", "zone_type", "rings").collect()]
+
+
+class TestSparkJobs:
+    def test_assign_zones_df(self, spark, lux_zones):
+        rng = np.random.default_rng(12)
+        pts = [
+            (int(i), float(lon), float(lat))
+            for i, (lon, lat) in enumerate(
+                zip(rng.uniform(2, 15, 400), rng.uniform(44, 54, 400))
+            )
+        ]
+        pdf = spark.createDataFrame(pts, "pid long, lon double, lat double")
+        out = assign_zones(pdf, lux_zones).orderBy("pid").collect()
+        exp = brute_force_assign(
+            rows_with_types(lux_zones),
+            np.array([p[1] for p in pts]),
+            np.array([p[2] for p in pts]),
+        )
+        got = np.array([r["zone_id"] for r in out])
+        assert (got == exp).all()
+
+    def test_encode_points_prefixes(self, spark):
+        df = spark.createDataFrame(
+            [(6.13, 49.61), (-70.5, -33.4)], "lon double, lat double"
+        )
+        out = encode_points(df).collect()
+        for r in out:
+            c4, c7, c9 = r["cell_r4"], r["cell_r7"], r["cell_r9"]
+            assert c9 >> 4 == c7 and c7 >> 6 == c4
+            z, x, y = cells.tile_decode(r["tile_id"])
+            assert z == 12
+
+    def test_assign_images_end_to_end(self, spark, lux_zones):
+        imgs = spark.createDataFrame(gen_images(300, seed=5), schema=IMAGES_SCHEMA)
+        out = assign_images(imgs, lux_zones).cache()
+        assert out.count() == 300
+        # every image lands in a zone (all points are inside the world)
+        assert out.filter(F.col("zone_id") == -1).count() == 0
+        # zone metadata joined
+        assert out.filter(F.col("zone_type").isNull()).count() == 0
+        # pyramid tile zoom matches zone type mapping
+        r = out.select("zone_type", "zone_tile_id", "tile_id").first()
+        z, x, y = cells.tile_decode(r["zone_tile_id"])
+        zi, xi, yi = cells.tile_decode(r["tile_id"])
+        assert x == xi >> (zi - z) and y == yi >> (zi - z)
+
+    def test_rollup_hierarchy_consistency(self, spark, lux_zones):
+        imgs = spark.createDataFrame(gen_images(500, seed=6), schema=IMAGES_SCHEMA)
+        assigned = assign_images(imgs, lux_zones)
+        roll = rollup_cells(assigned).cache()
+        # every resolution level must sum to the same total
+        totals = {
+            r["res"]: r["t"]
+            for r in roll.groupBy("res").agg(F.sum("n").alias("t")).collect()
+        }
+        assert totals == {4: 500, 7: 500, 9: 500}
+
+    def test_salted_count(self, spark):
+        df = spark.range(1000).withColumn("k", F.pmod(F.col("id"), F.lit(3)))
+        got = {r["k"]: r["n"] for r in salted_count(df, ["k"], n_salt=8).collect()}
+        assert got == {0: 334, 1: 333, 2: 333}
