@@ -22,7 +22,7 @@ def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from pyspark.sql import functions as F
 
-    from cosmospark.assign import assign_zones, encode_points
+    from cosmospark.assign import encode_and_assign
     from cosmospark.queries import _lux_typed_zones, queries
     from cosmospark.session import get_spark
 
@@ -39,20 +39,39 @@ def main() -> None:
     zones = _lux_typed_zones(spark)
     pts = spark.range(n_pip).select(
         F.col("id").alias("pid"),
-        F.expr("2.0 + (id * 7919 % 1300) / 100.0").alias("lon"),
-        F.expr("44.0 + (id * 104729 % 1000) / 100.0").alias("lat"),
+        F.expr("cast(2.0 + (id * 7919 % 1300) / 100.0 as double)").alias("lon"),
+        F.expr("cast(44.0 + (id * 104729 % 1000) / 100.0 as double)").alias("lat"),
     )
     # warm up the session (JVM + python workers) so the metric measures
     # steady-state throughput, not daemon spawn
-    assign_zones(encode_points(pts.limit(20000)), zones).count()
+    encode_and_assign(pts.limit(100000), zones).count()
 
     t0 = time.time()
-    n_assigned = assign_zones(encode_points(pts), zones).filter(
+    n_assigned = encode_and_assign(pts, zones).filter(
         F.col("zone_id") >= 0
     ).count()
     pip_sec = time.time() - t0
     timings["pip_assign"] = round(pip_sec, 3)
     images_per_sec = n_pip / pip_sec if pip_sec > 0 else 0.0
+
+    # --- representative image pipeline (decode+invariants+phash+PIP) -------
+    img_path = os.environ.get("COSMOSPARK_BENCH_IMG", "/tmp/cosmospark_bench_img_200k.parquet")
+    if not os.path.exists(img_path):
+        from cosmospark.imagejob import gen_images_parquet
+
+        gen_images_parquet(img_path, 200_000, px=16)
+    from cosmospark.imagejob import image_pipeline
+
+    images = spark.read.parquet(img_path)
+    image_pipeline(images, zones).agg(F.count("*")).collect()  # warm
+    t0 = time.time()
+    inv = image_pipeline(images, zones).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("pixels_ok").cast("long")).alias("pix_ok"),
+    ).collect()[0]
+    img_sec = time.time() - t0
+    timings["image_pipeline"] = round(img_sec, 3)
+    image_rows_per_sec = round(inv["n"] / img_sec)
 
     # --- operator suite -----------------------------------------------------
     suite = [
@@ -87,6 +106,8 @@ def main() -> None:
         "pip_rows": n_pip,
         "images_per_sec": round(images_per_sec),
         "pip_assigned_rows": n_assigned,
+        "image_pipeline_rows_per_sec": image_rows_per_sec,
+        "image_pipeline_invariants_ok": int(inv["pix_ok"]) == int(inv["n"]),
     }
     print(json.dumps(result))
     spark.stop()

@@ -24,16 +24,33 @@ _Q = 2.0  # flat quantization step; max per-coeff error _Q/2 → PSNR >> 40 dB
 
 
 def _dct_matrix(n: int) -> np.ndarray:
-    """Orthonormal DCT-II basis matrix."""
+    """Orthonormal DCT-II basis matrix (float32: DCT math runs in single
+    precision — halves memory traffic, and quantization error dominates
+    float32 rounding by orders of magnitude)."""
     k = np.arange(n)[:, None]
     i = np.arange(n)[None, :]
     m = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
     m[0, :] = np.sqrt(1.0 / n)
-    return m
+    return m.astype(np.float32)
 
 
 _D8 = _dct_matrix(8)
-_D32 = _dct_matrix(32)
+
+
+def _rmulT(x: np.ndarray, m: np.ndarray) -> np.ndarray:
+    """x @ m.T over stacked matrices as ONE flat dgemm — np.matmul over
+    tiny 8x8 stacks pays per-matrix BLAS dispatch, and np.tensordot's
+    internal transposes are slower than an explicit reshape."""
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    return (x.reshape(-1, k) @ m.T).reshape(*lead, m.shape[0])
+
+
+def _sandwich(m: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """m @ x @ m.T over stacked matrices (two flat dgemms)."""
+    y = _rmulT(x, m)  # (..., a, c)
+    z = _rmulT(y.swapaxes(-1, -2), m)  # (..., c, c') = (m @ y).T stacks
+    return z.swapaxes(-1, -2)
 
 
 def encode_raw(arr: np.ndarray) -> bytes:
@@ -42,34 +59,13 @@ def encode_raw(arr: np.ndarray) -> bytes:
     return _MAGIC_RAW + struct.pack("<HH", h, w) + arr.tobytes()
 
 
-def _pad8(arr: np.ndarray) -> np.ndarray:
-    h, w = arr.shape
-    ph, pw = (-h) % 8, (-w) % 8
-    return np.pad(arr, ((0, ph), (0, pw)), mode="edge")
-
-
-def _blocks(a: np.ndarray) -> np.ndarray:
-    """(H, W) → (H//8, W//8, 8, 8) view-reshape."""
-    h, w = a.shape
-    return a.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
-
-
-def _unblocks(b: np.ndarray) -> np.ndarray:
-    nh, nw = b.shape[0], b.shape[1]
-    return b.transpose(0, 2, 1, 3).reshape(nh * 8, nw * 8)
-
-
 def encode_lossy(arr: np.ndarray) -> bytes:
+    """Scalar wrapper over the batch path (bit-identical by construction)."""
     h, w, c = arr.shape
     assert c == 3 and arr.dtype == np.uint8
-    out = [_MAGIC_LOSSY, struct.pack("<HH", h, w)]
-    for ch in range(3):
-        a = _pad8(arr[:, :, ch].astype(np.float64) - 128.0)
-        blk = _blocks(a)
-        coef = np.einsum("ij,abjk,lk->abil", _D8, blk, _D8)
-        q = np.round(coef / _Q).astype(np.int16)
-        out.append(q.tobytes())
-    return b"".join(out)
+    ph, pw = (-h) % 8, (-w) % 8
+    padded = np.pad(arr, ((0, ph), (0, pw), (0, 0)), mode="edge")
+    return encode_lossy_batch(padded[None], orig_h=h, orig_w=w)[0]
 
 
 def decode(blob: bytes) -> np.ndarray:
@@ -78,18 +74,7 @@ def decode(blob: bytes) -> np.ndarray:
     if magic == _MAGIC_RAW:
         return np.frombuffer(blob[8:], dtype=np.uint8).reshape(h, w, 3).copy()
     if magic == _MAGIC_LOSSY:
-        ph, pw = h + ((-h) % 8), w + ((-w) % 8)
-        n = (ph // 8) * (pw // 8) * 64
-        chans = []
-        off = 8
-        for _ in range(3):
-            q = np.frombuffer(blob[off : off + n * 2], dtype=np.int16).astype(np.float64)
-            off += n * 2
-            coef = (q * _Q).reshape(ph // 8, pw // 8, 8, 8)
-            blk = np.einsum("ji,abjk,kl->abil", _D8, coef, _D8)
-            a = _unblocks(blk)[:h, :w] + 128.0
-            chans.append(np.clip(np.round(a), 0, 255).astype(np.uint8))
-        return np.stack(chans, axis=-1)
+        return decode_lossy_batch([blob], h, w)[0]
     raise ValueError(f"unknown codec magic {magic!r}")
 
 
@@ -108,27 +93,120 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return 10.0 * np.log10(255.0 * 255.0 / mse)
 
 
-def _resize_nn(gray: np.ndarray, n: int = 32) -> np.ndarray:
-    h, w = gray.shape
-    yi = (np.arange(n) * h // n).clip(0, h - 1)
-    xi = (np.arange(n) * w // n).clip(0, w - 1)
-    return gray[np.ix_(yi, xi)]
-
-
 def phash64(arr: np.ndarray) -> int:
     """DCT perceptual hash: gray → 32x32 → DCT → top-left 8x8 (minus DC)
-    thresholded at the median → 64-bit int (signed, Spark LongType)."""
-    gray = arr.astype(np.float64).mean(axis=2)
-    g = _resize_nn(gray, 32)
-    coef = _D32 @ g @ _D32.T
-    block = coef[:8, :8].copy().ravel()
-    med = np.median(block[1:])
-    bits = (block > med).astype(np.uint64)
-    val = np.uint64(0)
-    for i, b in enumerate(bits):
-        val |= np.uint64(b) << np.uint64(i)
-    return int(val.astype(np.int64))
+    thresholded at the median → 64-bit int (signed, Spark LongType).
+    Delegates to the batch path for bit-identity."""
+    return int(phash64_batch(arr[None])[0])
 
 
 def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+# ---------------------------------------------------------------------------
+# Batch (whole-Arrow-batch) variants: one einsum across every 8x8 block of
+# every image in the batch — these are what runs inside mapInPandas; the
+# scalar functions above are the reference implementations.
+
+
+def encode_lossy_batch(arrs: np.ndarray, orig_h: int | None = None, orig_w: int | None = None) -> list[bytes]:
+    """(n, h, w, 3) uint8 (h, w multiples of 8) → list of lossy blobs.
+    ``orig_h/orig_w`` record pre-padding dims in the header."""
+    n, h, w, _ = arrs.shape
+    assert h % 8 == 0 and w % 8 == 0
+    a = arrs.astype(np.float32) - np.float32(128.0)
+    # (n, 3, h/8, w/8, 8, 8)
+    blk = a.transpose(0, 3, 1, 2).reshape(n, 3, h // 8, 8, w // 8, 8).transpose(0, 1, 2, 4, 3, 5)
+    coef = _sandwich(_D8, blk)
+    q = np.round(coef / _Q).astype(np.int16)
+    header = _MAGIC_LOSSY + struct.pack("<HH", orig_h or h, orig_w or w)
+    qb = q.reshape(n, -1)
+    return [header + qb[i].tobytes() for i in range(n)]
+
+
+def decode_lossy_batch(blobs, h: int, w: int) -> np.ndarray:
+    """Same-dimension lossy blobs → (n, h, w, 3) uint8, one einsum."""
+    n = len(blobs)
+    ph, pw = h + ((-h) % 8), w + ((-w) % 8)
+    k = 3 * (ph // 8) * (pw // 8) * 64
+    q = np.empty((n, k), dtype=np.int16)
+    for i, b in enumerate(blobs):
+        q[i] = np.frombuffer(b, dtype=np.int16, count=k, offset=8)
+    coef = (q.astype(np.float32) * np.float32(_Q)).reshape(n, 3, ph // 8, pw // 8, 8, 8)
+    blk = _sandwich(_D8.T, coef)
+    a = blk.transpose(0, 1, 2, 4, 3, 5).reshape(n, 3, ph, pw).transpose(0, 2, 3, 1) + np.float32(128.0)
+    return np.clip(np.round(a), 0, 255).astype(np.uint8)[:, :h, :w]
+
+
+def decode_raw_batch(blobs, h: int, w: int) -> np.ndarray:
+    n = len(blobs)
+    out = np.empty((n, h, w, 3), dtype=np.uint8)
+    for i, b in enumerate(blobs):
+        out[i] = np.frombuffer(b, dtype=np.uint8, count=h * w * 3, offset=8).reshape(h, w, 3)
+    return out
+
+
+_POW2 = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+
+
+def _dct_int(n: int, scale: int = 1 << 14) -> np.ndarray:
+    """Fixed-point DCT basis (int64). The perceptual hash must be
+    bit-reproducible across processes/executors, and float32 BLAS sgemm
+    results vary with OpenBLAS kernel selection (measured: 386/10^6 hash
+    flips between thread configs) — integer matmul is exact everywhere."""
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    m = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    m[0, :] = np.sqrt(1.0 / n)
+    return np.round(m * scale).astype(np.int64)
+
+
+_DI16 = _dct_int(16)
+_DI32 = _dct_int(32)
+
+
+def _int_sandwich(m: np.ndarray, x: np.ndarray) -> np.ndarray:
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    y = (x.reshape(-1, k) @ m.T).reshape(*lead, m.shape[0])
+    y = y.swapaxes(-1, -2)
+    lead = y.shape[:-1]
+    k = y.shape[-1]
+    z = (y.reshape(-1, k) @ m.T).reshape(*lead, m.shape[0])
+    return z.swapaxes(-1, -2)
+
+
+def phash64_batch(arrs: np.ndarray) -> np.ndarray:
+    """(n, h, w, 3) uint8 → int64 phashes. Exact integer arithmetic
+    throughout (see _dct_int). Small images (≤16px) hash through a
+    16×16 DCT instead of upsampling to 32×32."""
+    n, h, w, _ = arrs.shape
+    # gray = r+g+b (exact int; the 1/3 scale cancels in the comparison)
+    gray = (
+        arrs[:, :, :, 0].astype(np.int64)
+        + arrs[:, :, :, 1].astype(np.int64)
+        + arrs[:, :, :, 2].astype(np.int64)
+    )
+    size = 16 if max(h, w) <= 16 else 32
+    d = _DI16 if size == 16 else _DI32
+    yi = (np.arange(size) * h // size).clip(0, h - 1)
+    xi = (np.arange(size) * w // size).clip(0, w - 1)
+    g = gray[:, yi][:, :, xi]
+    coef = _int_sandwich(d, g)
+    block = coef[:, :8, :8].reshape(n, 64)
+    # median of 63 ints = exact middle order statistic (index 31)
+    med = np.partition(block[:, 1:], 31, axis=1)[:, 31]
+    bits = (block > med[:, None]).astype(np.uint64)
+    return (bits * _POW2[None, :]).sum(axis=1).astype(np.int64)
+
+
+def psnr_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(n, h, w, 3) pairs → per-image PSNR dB (inf-safe: 999 for exact)."""
+    mse = np.mean(
+        (a.astype(np.float64) - b.astype(np.float64)) ** 2, axis=(1, 2, 3)
+    )
+    out = np.full(len(mse), 999.0)
+    nz = mse > 0
+    out[nz] = 10.0 * np.log10(255.0 * 255.0 / mse[nz])
+    return out

@@ -131,10 +131,10 @@ def q_pricing_summary(spark, sf_dir):
 
 SQL_PRICING = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
-           * CAST(ROUND(l_discount * 100) AS BIGINT)) AS disc_weight,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) AS disc_weight,
        COUNT(*) AS count_order
 FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
@@ -159,7 +159,7 @@ def q_stats_counts(spark, sf_dir):
 SQL_STATS = """
 SELECT o_orderstatus, COUNT(*) AS n_orders,
        COUNT(DISTINCT o_custkey) AS n_custs,
-       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
@@ -491,6 +491,285 @@ ORDER BY z.id
 """
 
 
+def q_geo_tile_encode(spark, sf_dir):
+    """WebMercator z/x/y tiles at z=12: numpy path vs the same slippy
+    formula in SQL — per-tile point counts."""
+    enc = encode_points(_pts_df(spark), resolutions=(7,), tile_z=12)
+    return (
+        enc.select(
+            (F.shiftright("tile_id", 29).bitwiseAND(F.lit((1 << 29) - 1))).alias("tx"),
+            (F.col("tile_id").bitwiseAND(F.lit((1 << 29) - 1))).alias("ty"),
+        )
+        .groupBy("tx", "ty")
+        .agg(F.count("*").alias("n"))
+        .orderBy("tx", "ty")
+    )
+
+
+SQL_TILE = f"""
+WITH pts AS ({PTS_SQL}),
+t AS (
+  SELECT
+    CAST(floor((lon + 180.0) / 360.0 * 4096) AS BIGINT) AS tx,
+    CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 4096) AS BIGINT) AS ty
+  FROM pts)
+SELECT tx, ty, COUNT(*) AS n FROM t GROUP BY tx, ty ORDER BY tx, ty
+"""
+
+
+# the 8-zone libpostal typing scenario (reference src/zone_typer.rs:422-501)
+TYPER_ZONES = [
+    (0, "relation:z1", None),
+    (1, "relation:z2", 5),
+    (2, "relation:z3", 9),
+    (3, "relation:z4", 9),
+    (4, "relation:z5", 7),
+    (5, "relation:z6", 7),
+    (6, "relation:big_zone", 4),
+    (7, "relation:very_big_zone", 2),
+]
+TYPER_INCLUSIONS = [(0, 6), (1, 6), (2, 7), (2, 6), (3, 6)]
+TYPER_LEVELS = [
+    ("FR", "2", "country"),
+    ("FR", "4", "state"),
+    ("FR", "5", "state_district"),
+    ("FR", "6", "state_district"),
+    ("FR", "8", "city"),
+    ("FR", "9", "suburb"),
+]
+TYPER_ID_OV = [
+    ("FR", "relation:z1", "city_district"),
+    ("FR", "relation:z4", None),
+    ("FR", "relation:z5", "city_district"),
+]
+TYPER_CONTAINED = [("FR", "relation:big_zone", "9", "suburb")]
+
+
+def q_geo_zone_type(spark, sf_dir):
+    """J4 — the libpostal 3-level typing precedence on the reference's
+    own 8-zone scenario (zone_typer.rs:422-501)."""
+    from cosmospark.typer import make_rules, type_zones
+
+    zones = spark.createDataFrame(
+        [(i, o, l, "FR") for i, o, l in TYPER_ZONES],
+        "id long, osm_id string, admin_level int, country_code string",
+    )
+    incl = spark.createDataFrame(TYPER_INCLUSIONS, "child long, parent long")
+    rules = make_rules(spark, TYPER_LEVELS, TYPER_ID_OV, TYPER_CONTAINED)
+    return type_zones(zones, incl, rules).select("osm_id", "zone_type").orderBy("osm_id")
+
+
+def sql_geo_zone_type():
+    zv = ", ".join(
+        f"({i}, '{o}', {l if l is not None else 'NULL'})" for i, o, l in TYPER_ZONES
+    )
+    iv = ", ".join(f"({c}, {p})" for c, p in TYPER_INCLUSIONS)
+    lv = ", ".join(f"('{c}', '{l}', '{t}')" for c, l, t in TYPER_LEVELS)
+    ov = ", ".join(
+        f"('{c}', '{o}', " + (f"'{t}'" if t else "NULL") + ")" for c, o, t in TYPER_ID_OV
+    )
+    cb = ", ".join(f"('{c}', '{o}', '{l}', '{t}')" for c, o, l, t in TYPER_CONTAINED)
+    return f"""
+WITH zones(id, osm_id, admin_level) AS (VALUES {zv}),
+incl(child, parent) AS (VALUES {iv}),
+lv(country, lvl, ztype) AS (VALUES {lv}),
+ov(country, osm_id, ztype) AS (VALUES {ov}),
+cb(country, container, lvl, ztype) AS (VALUES {cb}),
+containers AS (SELECT DISTINCT country, container FROM cb),
+cand AS (
+  SELECT i.child, p.osm_id AS container, COALESCE(p.admin_level, 0) AS plevel, p.id AS pid
+  FROM incl i JOIN zones p ON p.id = i.parent
+  JOIN containers c ON c.container = p.osm_id AND c.country = 'FR'),
+chosen AS (
+  SELECT child, container FROM (
+    SELECT child, container,
+           row_number() OVER (PARTITION BY child ORDER BY plevel DESC, pid) AS rn
+    FROM cand) WHERE rn = 1),
+base AS (SELECT id, osm_id, CAST(COALESCE(admin_level, 0) AS VARCHAR) AS lvl FROM zones)
+SELECT b.osm_id,
+       CASE WHEN o.osm_id IS NOT NULL THEN o.ztype
+            ELSE COALESCE(s.ztype, d.ztype) END AS zone_type
+FROM base b
+LEFT JOIN ov o ON o.osm_id = b.osm_id AND o.country = 'FR'
+LEFT JOIN chosen ch ON ch.child = b.id
+LEFT JOIN cb s ON s.container = ch.container AND s.lvl = b.lvl AND s.country = 'FR'
+LEFT JOIN lv d ON d.lvl = b.lvl AND d.country = 'FR'
+ORDER BY b.osm_id
+"""
+
+
+def q_geo_full_labels(spark, sf_dir):
+    """The COMPLETE zone pipeline (extract → inclusions → typing →
+    hierarchy → labels) on the 200-zone lux world; oracle rebuilds the
+    parent chain + label formatting relationally."""
+    from cosmospark.fixtures import LUX_RULES_LEVELS, lux_world
+    from cosmospark.pipeline import build_zones
+    from cosmospark.typer import make_rules
+    from cosmospark.ztypes import ZONES_RAW_SCHEMA
+
+    raw = spark.createDataFrame(lux_world(), schema=ZONES_RAW_SCHEMA)
+    rules = make_rules(spark, LUX_RULES_LEVELS)
+    out = build_zones(spark, raw, rules)
+    return out.select("osm_id", "zone_type", "label").orderBy("osm_id")
+
+
+def _zones_values_named_sql() -> str:
+    vals = []
+    for _, r in _lux_typed_rows():
+        b = r["bbox"]
+        area = (b["maxx"] - b["minx"]) * (b["maxy"] - b["miny"])
+        zips = r["tags"].get("addr:postcode", "")
+        vals.append(
+            f"({r['id']}, '{r['osm_id']}', '{r['name']}', {b['minx']!r}, {b['miny']!r}, "
+            f"{b['maxx']!r}, {b['maxy']!r}, {TYPE_RANK[r['zone_type']]}, {area!r}, "
+            f"'{r['zone_type']}', '{zips}')"
+        )
+    return (
+        "(VALUES "
+        + ", ".join(vals)
+        + ") AS z(id, osm_id, name, minx, miny, maxx, maxy, rank, area, ztype, zip)"
+    )
+
+
+def sql_geo_full_labels():
+    return f"""
+WITH zones AS (SELECT * FROM {_zones_values_named_sql()}),
+cand AS (
+  SELECT c.id AS cid, p.id AS pid, p.rank AS prank, p.area AS parea
+  FROM zones c JOIN zones p ON c.id != p.id
+   AND p.minx <= c.minx AND p.miny <= c.miny
+   AND p.maxx >= c.maxx AND p.maxy >= c.maxy
+   AND c.rank < p.rank),
+par AS (
+  SELECT cid, pid FROM (
+    SELECT cid, pid, row_number() OVER (PARTITION BY cid ORDER BY prank, parea, pid) AS rn
+    FROM cand) WHERE rn = 1),
+labelled AS (
+  SELECT z.osm_id, z.ztype AS zone_type,
+         concat_ws(', ',
+           z.name || CASE WHEN z.zip = '' THEN '' ELSE ' (' || z.zip || ')' END,
+           p1.name, p2.name, p3.name) AS label
+  FROM zones z
+  LEFT JOIN par e1 ON e1.cid = z.id LEFT JOIN zones p1 ON p1.id = e1.pid
+  LEFT JOIN par e2 ON e2.cid = p1.id LEFT JOIN zones p2 ON p2.id = e2.pid
+  LEFT JOIN par e3 ON e3.cid = p2.id LEFT JOIN zones p3 ON p3.id = e3.pid)
+SELECT osm_id, zone_type, label FROM labelled ORDER BY osm_id
+"""
+
+
+def q_events_window(spark, sf_dir):
+    """Time-windowed aggregation over the events stream table: per
+    (event_type, day) counts + exact cent sums."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+SQL_EVENTS_WINDOW = """
+SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY event_type, day ORDER BY event_type, day
+"""
+
+
+_EN_STOP = ("the", "a", "of", "and", "to", "in", "is", "on")
+
+
+def q_lang_id(spark, sf_dir):
+    """Language-ID heuristic: English stopword hits vs total words →
+    'en' when ≥ 5% of words are EN stopwords, else 'unknown'."""
+    d = _t(spark, sf_dir, "documents")
+    sw = ", ".join(f"'{w}'" for w in _EN_STOP)
+    words = "split(text, ' ')"
+    hits = f"size(filter({words}, w -> w in ({sw})))"
+    return d.select(
+        "doc_id",
+        F.expr(
+            f"case when {hits} * 20 >= size({words}) then 'en' else 'unknown' end"
+        ).alias("lang_guess"),
+    ).orderBy("doc_id")
+
+
+def sql_lang_id():
+    sw = ", ".join(f"'{w}'" for w in _EN_STOP)
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+SELECT doc_id,
+  CASE WHEN len(list_filter(ws, x -> x IN ({sw}))) * 20 >= len(ws)
+       THEN 'en' ELSE 'unknown' END AS lang_guess
+FROM w ORDER BY doc_id
+"""
+
+
+N_HYPERPLANES = 8
+
+
+def _hyperplane(j: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane (pure integer arithmetic —
+    reproducible in SQL)."""
+    return [float((j * 131 + d * 31 + j * d * 7) % 17 - 8) / 8.0 for d in range(dim)]
+
+
+def q_ann_lsh(spark, sf_dir):
+    """LSH-bucketed ANN: 8 deterministic hyperplane sign bits → bucket;
+    same-bucket pairs verified by exact cosine ≥ 0.2. The scale path for
+    similarity search (bucket equi-join instead of all-pairs)."""
+    e = _t(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    bucket = None
+    for j in range(N_HYPERPLANES):
+        h = _hyperplane(j, dim)
+        hlit = "array(" + ", ".join(repr(v) + "D" for v in h) + ")"
+        dot = f"aggregate(zip_with(embedding, {hlit}, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+        bit = F.expr(f"case when {dot} > 0 then {1 << j} else 0 end").cast("long")
+        bucket = bit if bucket is None else bucket + bit
+    b = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    a2 = b.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), "bucket")
+    b2 = b.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), "bucket")
+    dot = "aggregate(zip_with(ea, eb, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+    na = "sqrt(aggregate(ea, 0D, (a, x) -> a + x * x))"
+    nb = "sqrt(aggregate(eb, 0D, (a, x) -> a + x * x))"
+    return (
+        a2.join(b2, ["bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.expr(f"round({dot} / ({na} * {nb}), 6)"))
+        .filter(F.col("cos_sim") >= 0.2)
+        .select("id_a", "id_b", "cos_sim")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def sql_ann_lsh(dim: int):
+    bits = []
+    for j in range(N_HYPERPLANES):
+        h = _hyperplane(j, dim)
+        hlit = "[" + ", ".join(repr(v) for v in h) + "]"
+        dot = (
+            f"list_aggregate(list_transform(list_zip(embedding, {hlit}), "
+            f"p -> p[1] * p[2]), 'sum')"
+        )
+        bits.append(f"CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END")
+    bucket = " + ".join(bits)
+    pdot = "list_aggregate(list_transform(list_zip(ea, eb), p -> p[1] * p[2]), 'sum')"
+    pna = "sqrt(list_aggregate(list_transform(ea, x -> x * x), 'sum'))"
+    pnb = "sqrt(list_aggregate(list_transform(eb, x -> x * x), 'sum'))"
+    return f"""
+WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b2.vec_id AS id_b, a.embedding AS ea, b2.embedding AS eb
+  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+SELECT id_a, id_b, ROUND({pdot} / ({pna} * {pnb}), 6) AS cos_sim
+FROM pairs WHERE ROUND({pdot} / ({pna} * {pnb}), 6) >= 0.2
+ORDER BY id_a, id_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators (documents / embeddings)
 
@@ -621,10 +900,10 @@ def q_doc_fingerprint(spark, sf_dir):
 
 SQL_FINGERPRINT = """
 SELECT doc_id,
-       list_aggregate(
+       CAST(list_aggregate(
          list_transform(string_split(text, ' '),
                         w -> CAST(length(w) * 31 + COALESCE(ascii(substring(w, 1, 1)), 0) AS BIGINT)),
-         'sum') % 1000000007 AS fingerprint
+         'sum') % 1000000007 AS BIGINT) AS fingerprint
 FROM documents ORDER BY doc_id
 """
 
@@ -816,6 +1095,12 @@ def queries() -> dict:
         "geo_cell_encode": q_geo_cell_encode,
         "geo_multires_rollup": q_geo_multires_rollup,
         "geo_parent_hierarchy": q_geo_parent_hierarchy,
+        "geo_tile_encode": q_geo_tile_encode,
+        "geo_zone_type": q_geo_zone_type,
+        "geo_full_labels": q_geo_full_labels,
+        "events_window": q_events_window,
+        "lang_id": q_lang_id,
+        "ann_lsh": q_ann_lsh,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
@@ -828,6 +1113,14 @@ def queries() -> dict:
         "simhash": q_simhash,
         "phash_neardup": q_phash_neardup,
     }
+
+
+def _emb_dim(sf_dir: str) -> int:
+    import duckdb
+
+    return duckdb.sql(
+        f"SELECT len(embedding) FROM '{sf_dir}/embeddings.parquet' LIMIT 1"
+    ).fetchone()[0]
 
 
 def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
@@ -854,6 +1147,12 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "geo_cell_encode": sql_geo_cell_encode(),
         "geo_multires_rollup": sql_geo_multires_rollup(),
         "geo_parent_hierarchy": sql_geo_parent_hierarchy(),
+        "geo_tile_encode": SQL_TILE,
+        "geo_zone_type": sql_geo_zone_type(),
+        "geo_full_labels": sql_geo_full_labels(),
+        "events_window": SQL_EVENTS_WINDOW,
+        "lang_id": sql_lang_id(),
+        "ann_lsh": sql_ann_lsh(_emb_dim(sf_dir)),
         "dedup_exact": SQL_DEDUP,
         "token_count": SQL_TOKENS,
         "quality_score": sql_quality_score(),
