@@ -181,6 +181,44 @@ LUX_RULES_LEVELS = [
 ]
 
 
+def detailed_lux_zones(n_vertices: int = 2048) -> list[dict]:
+    """The lux world with *detailed* boundaries: every commune/locality
+    rectangle becomes an inscribed n-vertex ellipse polygon, mirroring
+    real admin boundaries (which carry 10^3–10^6 vertices). The country
+    and cantons stay rectangles so every point still finds a parent.
+
+    Used by the detailed-PIP scaling bench: many-vertex rings make the
+    exact PIP refinement compute-dense (cache-resident edge tiles)."""
+    out = []
+    for z in lux_world():
+        lvl = z["admin_level"]
+        ztype = {2: "country", 6: "state_district", 8: "city", 9: "suburb"}.get(lvl)
+        if ztype is None:
+            continue
+        z = dict(z)
+        z["zone_type"] = ztype
+        if lvl in (8, 9):
+            b = z["bbox"]
+            cx = (b["minx"] + b["maxx"]) / 2.0
+            cy = (b["miny"] + b["maxy"]) / 2.0
+            rx = (b["maxx"] - b["minx"]) / 2.0 * 0.98
+            ry = (b["maxy"] - b["miny"]) / 2.0 * 0.98
+            th = np.linspace(0.0, 2.0 * np.pi, n_vertices, endpoint=False)
+            xs = cx + rx * np.cos(th)
+            ys = cy + ry * np.sin(th)
+            z["rings"] = geom.rings_to_rows([(0, 0, xs, ys)])
+            z["bbox"] = {
+                "minx": float(xs.min()),
+                "miny": float(ys.min()),
+                "maxx": float(xs.max()),
+                "maxy": float(ys.max()),
+            }
+            c = geom.centroid([(0, 0, xs, ys)])
+            z["center"] = {"lon": c[0], "lat": c[1]} if c else None
+        out.append(z)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Image fact table
 

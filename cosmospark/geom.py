@@ -71,23 +71,42 @@ def bbox_contains_bbox(a, b) -> bool:
     return a[0] <= b[0] and a[1] <= b[1] and a[2] >= b[2] and a[3] >= b[3]
 
 
+# 2D tile sizes for the (points × edges) intermediates: each temporary
+# stays ~L2-resident (256 KB), so many-vertex polygons remain
+# compute-bound even with many concurrent workers sharing L3/memory
+_EDGE_TILE = 256
+_TILE_ELEMS = 1 << 15  # 32k float64 = 256 KB per temporary
+
+
 def _crossings(px: np.ndarray, py: np.ndarray, xs, ys) -> np.ndarray:
     """Even-odd ray-cast crossing counts of points against one ring.
 
-    Vectorized over points AND edges: for P points and E edges this is a
-    (P, E) boolean reduction. The upward-ray convention (y1 <= py < y2)
-    handles vertices exactly once.
+    Vectorized over points AND edges, in (point × edge) tiles sized so
+    every temporary is L2-resident. The upward-ray convention
+    (y1 <= py < y2) handles vertices exactly once.
     """
     x1, y1, x2, y2 = _ring_edges(xs, ys)
-    px = px[:, None]
-    py = py[:, None]
-    cond = (y1[None, :] <= py) != (y2[None, :] <= py)
-    # x coordinate where the edge crosses the horizontal line through py
+    e = len(x1)
     with np.errstate(divide="ignore", invalid="ignore"):
-        t = (py - y1[None, :]) / np.where(y2 - y1 == 0, np.inf, (y2 - y1))[None, :]
-        xint = x1[None, :] + t * (x2 - x1)[None, :]
-    crossing = cond & (px < xint)
-    return crossing.sum(axis=1)
+        dyall = np.where(y2 - y1 == 0, np.inf, y2 - y1)
+        dxall = x2 - x1
+    out = np.zeros(len(px), dtype=np.int64)
+    et = min(e, _EDGE_TILE)
+    pstep = max(128, _TILE_ELEMS // max(et, 1))
+    for es in range(0, e, et):
+        ex1 = x1[es : es + et][None, :]
+        ey1 = y1[es : es + et][None, :]
+        ey2 = y2[es : es + et][None, :]
+        edy = dyall[es : es + et][None, :]
+        edx = dxall[es : es + et][None, :]
+        for s in range(0, len(px), pstep):
+            p = px[s : s + pstep][:, None]
+            q = py[s : s + pstep][:, None]
+            cond = (ey1 <= q) != (ey2 <= q)
+            t = (q - ey1) / edy
+            xint = ex1 + t * edx
+            out[s : s + pstep] += (cond & (p < xint)).sum(axis=1)
+    return out
 
 
 def pip(px: np.ndarray, py: np.ndarray, rings: list[Ring]) -> np.ndarray:
@@ -114,16 +133,19 @@ def on_boundary(px: np.ndarray, py: np.ndarray, rings: list[Ring], eps: float = 
     out = np.zeros(len(px), dtype=bool)
     for _, _, xs, ys in rings:
         x1, y1, x2, y2 = _ring_edges(xs, ys)
+        e = len(x1)
         dx = (x2 - x1)[None, :]
         dy = (y2 - y1)[None, :]
-        wx = px[:, None] - x1[None, :]
-        wy = py[:, None] - y1[None, :]
-        seg_len2 = dx * dx + dy * dy
-        t = np.clip((wx * dx + wy * dy) / np.where(seg_len2 == 0, 1.0, seg_len2), 0.0, 1.0)
-        distx = wx - t * dx
-        disty = wy - t * dy
-        d2 = distx * distx + disty * disty
-        out |= (d2 <= eps * eps).any(axis=1)
+        seg_len2 = np.where(dx * dx + dy * dy == 0, 1.0, dx * dx + dy * dy)
+        step = max(64, _TILE_ELEMS // max(e, 1))
+        for s in range(0, len(px), step):
+            wx = px[s : s + step][:, None] - x1[None, :]
+            wy = py[s : s + step][:, None] - y1[None, :]
+            t = np.clip((wx * dx + wy * dy) / seg_len2, 0.0, 1.0)
+            distx = wx - t * dx
+            disty = wy - t * dy
+            d2 = distx * distx + disty * disty
+            out[s : s + step] |= (d2 <= eps * eps).any(axis=1)
     return out
 
 

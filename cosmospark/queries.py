@@ -968,6 +968,167 @@ FROM embeddings GROUP BY label ORDER BY label
 """
 
 
+def q_semi_anti_join(spark, sf_dir):
+    """Set-op coverage (reference §2.6 retain/anti-filter): customers
+    with ≥1 order (left_semi) and customers with none (left_anti)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    with_orders = c.join(o, "c_custkey", "left_semi").select(
+        "c_custkey", F.lit("has_orders").alias("bucket")
+    )
+    without = c.join(o, "c_custkey", "left_anti").select(
+        "c_custkey", F.lit("no_orders").alias("bucket")
+    )
+    return with_orders.unionByName(without).orderBy("bucket", "c_custkey")
+
+
+SQL_SEMI_ANTI = """
+SELECT c_custkey, 'has_orders' AS bucket FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+UNION ALL
+SELECT c_custkey, 'no_orders' AS bucket FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY bucket, c_custkey
+"""
+
+
+def q_rollup_counts(spark, sf_dir):
+    """Grouping-sets coverage: ROLLUP(status, priority) counts (the
+    reference's stats generalized to hierarchies)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+SQL_ROLLUP = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+"""
+
+
+def q_running_total(spark, sf_dir):
+    """Window-aggregate coverage: per-customer running order-count and
+    cumulative cents by date (cust < 50 to keep output bounded)."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count("*").over(w).alias("running_n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).over(w).alias("running_cents"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+SQL_RUNNING = """
+SELECT o_custkey, o_orderkey,
+       COUNT(*) OVER w AS running_n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT) AS running_cents
+FROM orders WHERE o_custkey < 50
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+def q_top_revenue(spark, sf_dir):
+    """Global sort + limit (O-class coverage): top-20 orders by price
+    with deterministic orderkey tie-break."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .orderBy(F.col("cents").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+SQL_TOP_REVENUE = """
+SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+FROM orders ORDER BY cents DESC, o_orderkey LIMIT 20
+"""
+
+
+def q_set_intersect_except(spark, sf_dir):
+    """INTERSECT / EXCEPT coverage: nation keys having customers vs
+    having suppliers."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk")).distinct()
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk")).distinct()
+    both = c.intersect(s).withColumn("bucket", F.lit("both"))
+    only_c = c.exceptAll(s).withColumn("bucket", F.lit("cust_only"))
+    return both.unionByName(only_c).orderBy("bucket", "nk")
+
+
+SQL_INTERSECT = """
+SELECT nk, 'both' AS bucket FROM (
+  SELECT DISTINCT c_nationkey AS nk FROM customer
+  INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+UNION ALL
+SELECT nk, 'cust_only' AS bucket FROM (
+  SELECT DISTINCT c_nationkey AS nk FROM customer
+  EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+ORDER BY bucket, nk
+"""
+
+
+N_KNN_PTS = 500
+
+
+def q_geo_knn_fallback(spark, sf_dir):
+    """J2 kNN path: points OUTSIDE every zone fall back to the nearest
+    zone centroid (additional-zones boundary-miss semantics)."""
+    pts = spark.range(N_KNN_PTS).select(
+        F.col("id").alias("pid"),
+        # a ring of points outside the lux box (lon 20..30)
+        F.expr("20.0 + (id * 37 % 1000) / 100.0").alias("lon"),
+        F.expr("40.0 + (id * 61 % 1800) / 100.0").alias("lat"),
+    )
+    zones = _lux_typed_zones(spark)
+    out = assign_zones(pts, zones, knn_fallback=True)
+    return out.select("pid", "zone_id").orderBy("pid")
+
+
+def sql_geo_knn_fallback():
+    # the kernel's kNN uses geom.centroid values — emit the SAME doubles
+    # (via repr) so distance comparisons are bit-identical
+    vals = []
+    for _, r in _lux_typed_rows():
+        c = r["center"]
+        vals.append(f"({r['id']}, {c['lon']!r}, {c['lat']!r})")
+    cents = ", ".join(vals)
+    return f"""
+WITH pts AS (
+  SELECT i AS pid, 20.0 + (i * 37 % 1000) / 100.0 AS lon,
+         40.0 + (i * 61 % 1800) / 100.0 AS lat FROM range({N_KNN_PTS}) t(i)),
+cents(id, cx, cy) AS (VALUES {cents}),
+d AS (
+  SELECT p.pid, c.id,
+         (p.lon - c.cx) * (p.lon - c.cx) + (p.lat - c.cy) * (p.lat - c.cy) AS d2
+  FROM pts p CROSS JOIN cents c),
+ranked AS (
+  SELECT pid, id, row_number() OVER (PARTITION BY pid ORDER BY d2, id) AS rn FROM d)
+SELECT pid, id AS zone_id FROM ranked WHERE rn = 1 ORDER BY pid
+"""
+
+
 # ---------------------------------------------------------------------------
 # Spark-only operators (no SQL oracle → driver does rows-only checks)
 
@@ -1109,6 +1270,13 @@ def queries() -> dict:
         "ann_brute_force": q_ann_brute_force,
         "embedding_stats": q_embedding_stats,
         # Spark-only (rows-only checks)
+        "semi_anti_join": q_semi_anti_join,
+        "top_revenue": q_top_revenue,
+        "set_intersect_except": q_set_intersect_except,
+        "rollup_counts": q_rollup_counts,
+        "running_total": q_running_total,
+        "geo_knn_fallback": q_geo_knn_fallback,
+        # Spark-only (rows-only checks)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
         "phash_neardup": q_phash_neardup,
@@ -1153,6 +1321,12 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "events_window": SQL_EVENTS_WINDOW,
         "lang_id": sql_lang_id(),
         "ann_lsh": sql_ann_lsh(_emb_dim(sf_dir)),
+        "semi_anti_join": SQL_SEMI_ANTI,
+        "top_revenue": SQL_TOP_REVENUE,
+        "set_intersect_except": SQL_INTERSECT,
+        "rollup_counts": SQL_ROLLUP,
+        "running_total": SQL_RUNNING,
+        "geo_knn_fallback": sql_geo_knn_fallback(),
         "dedup_exact": SQL_DEDUP,
         "token_count": SQL_TOKENS,
         "quality_score": sql_quality_score(),
