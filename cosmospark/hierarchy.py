@@ -181,10 +181,13 @@ def find_inclusions(zones: DataFrame, refine: bool = True) -> DataFrame:
     if not refine:
         return pairs
 
-    # exact covers refinement over Arrow batches
+    # exact covers refinement over Arrow batches. NOTE: no broadcast hint
+    # on the geometry joins — detailed planet geometry can be tens of GB
+    # (10^6 zones × 10^3 vertices); AQE converts to broadcast-hash when
+    # the side is actually small, and shuffles on id otherwise.
     cg = zones.select(F.col("id").alias("child"), F.col("rings").alias("c_rings"))
     pg = zones.select(F.col("id").alias("parent"), F.col("rings").alias("p_rings"))
-    with_geo = pairs.join(F.broadcast(cg), "child").join(F.broadcast(pg), "parent")
+    with_geo = pairs.join(cg, "child").join(pg, "parent")
 
     out_schema = T.StructType(
         [T.StructField("child", T.LongType()), T.StructField("parent", T.LongType())]

@@ -143,6 +143,8 @@ def compute_labels(zones: DataFrame, filter_langs: list[str] | None = None) -> D
     )
 
     z = zones.join(per_zone, "id", "left")
+    # generated zones may carry NULL zip_codes — the zip formatter needs []
+    z = z.withColumn("zip_codes", F.coalesce(F.col("zip_codes"), F.expr("array()")))
     z = z.withColumn("_names", F.expr("transform(chain, c -> c.anc_name)"))
     z = z.withColumn("label", F.expr(_label_from_names_expr("_names")))
 

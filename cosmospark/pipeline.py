@@ -47,6 +47,26 @@ def place_nodes(raw: DataFrame, additional: bool = False) -> DataFrame:
     return raw.filter(cond)
 
 
+def extract_places(raw: DataFrame) -> DataFrame:
+    """P2 (src/zone_ext.rs:49-116 + additional_zones.rs:122-158): place
+    nodes → boundary-less place records for Voronoi generation.
+    zone_type parses the ``place`` tag with the reference's synonyms."""
+    from cosmospark.ztypes import TYPE_SYNONYMS
+
+    syn = F.col("tags")["place"]
+    for k, v in TYPE_SYNONYMS.items():
+        syn = F.when(F.col("tags")["place"] == k, F.lit(v)).otherwise(syn)
+    z = raw.withColumn("zone_type", syn)
+    if "name" not in z.columns:
+        z = z.withColumn("name", F.col("tags")["name"])
+    z = z.filter(F.col("name").isNotNull() & (F.col("name") != ""))
+    if "admin_level" not in z.columns:
+        z = z.withColumn("admin_level", F.col("tags")["admin_level"].cast("int"))
+    if "lon" not in z.columns:
+        z = z.withColumn("lon", F.col("center.lon")).withColumn("lat", F.col("center.lat"))
+    return z.select("osm_id", "name", "zone_type", "admin_level", "lon", "lat", "tags")
+
+
 def extract_zone_fields(raw: DataFrame) -> DataFrame:
     """P1-ish projection (src/zone_ext.rs:118-234): rows without a name
     are dropped (:126-135); admin_level parsed from tags when absent;
@@ -76,6 +96,8 @@ def build_zones(
     checkpoint_root: str | None = None,
     filter_langs: list[str] | None = None,
     keep_untyped: bool = False,
+    places_raw: DataFrame | None = None,
+    enable_voronoi: bool = False,
 ) -> DataFrame:
     """zones_raw (ZONES_RAW_SCHEMA-ish) → fully typed/parented/labelled
     zone table (ZONE_OUT_SCHEMA)."""
@@ -102,6 +124,19 @@ def build_zones(
     parented = ckpt.run_stage(
         spark, checkpoint_root, "parented", lambda: build_hierarchy(typed, inclusions)
     )
+
+    # stage 3d (src/lib.rs:219 compute_additional_places) — voronoi city
+    # generation, off by default like the reference's --disable-voronoi
+    # golden tests (tests/cosmogony_test.rs:113)
+    if enable_voronoi and places_raw is not None:
+        from cosmospark.voronoi import compute_additional_places, publish_new_places
+
+        def _with_places():
+            places = extract_places(places_raw)
+            new = compute_additional_places(parented, places)
+            return publish_new_places(parented, new)
+
+        parented = ckpt.run_stage(spark, checkpoint_root, "voronoi", _with_places)
 
     def _labelled():
         z = compute_names(parented)
