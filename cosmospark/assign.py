@@ -353,6 +353,46 @@ def assign_images(
     return out
 
 
+def write_assignments(assigned: DataFrame, path: str, prefix_res: int = 4) -> dict:
+    """Write the assignment fact table partitioned by coarse cell prefix
+    (hive layout ``cell_prefix=<r4-cell>/``), with a snapshot manifest.
+
+    The prefix scheme makes downstream spatial reads partition-prunable:
+    any bbox query maps to a set of r4 prefixes, and Catalyst prunes the
+    rest of the 10^12-row table at planning time. Manifest carries
+    per-partition row counts (lineage, north-rule requirement).
+    """
+    import json as _json
+    import os as _os
+
+    col = f"cell_r{prefix_res}"
+    if col not in assigned.columns:
+        raise ValueError(f"{col} column required (run encode_points first)")
+    (
+        assigned.withColumn("cell_prefix", F.col(col))
+        .write.mode("overwrite")
+        .partitionBy("cell_prefix")
+        .parquet(path)
+    )
+    spark = assigned.sparkSession
+    counts = {
+        str(r["cell_prefix"]): r["n"]
+        for r in spark.read.parquet(path)
+        .groupBy("cell_prefix")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    manifest = {
+        "prefix_res": prefix_res,
+        "n_rows": sum(counts.values()),
+        "n_partitions": len(counts),
+        "partition_rows": counts,
+    }
+    with open(_os.path.join(path, "_ASSIGN_MANIFEST.json"), "w") as fh:
+        _json.dump(manifest, fh, indent=1)
+    return manifest
+
+
 # ---------------------------------------------------------------------------
 # Hierarchical rollup + skew tooling
 

@@ -1089,6 +1089,72 @@ ORDER BY bucket, nk
 """
 
 
+def q_intl_names(spark, sf_dir):
+    """P3 (zone_ext.rs:404-417): international-name extraction via pure
+    map built-ins (map_filter + transform_keys), exploded to rows."""
+    from cosmospark.labels import with_international_names
+
+    zones = _lux_typed_zones(spark).select("osm_id", "name", "tags")
+    out = with_international_names(zones)
+    return (
+        out.select("osm_id", F.explode(F.col("international_names")).alias("lang", "intl_name"))
+        .orderBy("osm_id", "lang")
+    )
+
+
+def sql_intl_names():
+    # flattened ground truth from the same fixture: name:<lang> tags whose
+    # value differs from the default name
+    rows = []
+    for _, r in _lux_typed_rows():
+        for k, v in sorted(r["tags"].items()):
+            if k.startswith("name:") and v != r["name"]:
+                rows.append(f"('{r['osm_id']}', '{k[5:]}', '{v}')")
+    if not rows:
+        rows.append("('__none__', '', '')")
+    return (
+        "SELECT osm_id, lang, intl_name FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(osm_id, lang, intl_name) WHERE osm_id != '__none__' "
+        "ORDER BY osm_id, lang"
+    )
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup: same-label pairs with cosine ≥ 0.4
+    (sequential fold → bit-identical to the oracle)."""
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), F.col("label").alias("la"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), F.col("label").alias("lb"))
+    dot = "aggregate(zip_with(ea, eb, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+    na = "sqrt(aggregate(ea, 0D, (a, x) -> a + x * x))"
+    nb = "sqrt(aggregate(eb, 0D, (a, x) -> a + x * x))"
+    return (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("cos_sim", F.expr(f"round({dot} / ({na} * {nb}), 6)"))
+        .filter(F.col("cos_sim") >= 0.4)
+        .select("id_a", "id_b", "cos_sim")
+        .orderBy("id_a", "id_b")
+    )
+
+
+SQL_EMB_NEARDUP = """
+WITH p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS ea, b.embedding AS eb
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id)
+SELECT id_a, id_b,
+       ROUND(list_aggregate(list_transform(list_zip(ea, eb), x -> x[1] * x[2]), 'sum')
+             / (sqrt(list_aggregate(list_transform(ea, x -> x * x), 'sum'))
+                * sqrt(list_aggregate(list_transform(eb, x -> x * x), 'sum'))), 6) AS cos_sim
+FROM p
+WHERE ROUND(list_aggregate(list_transform(list_zip(ea, eb), x -> x[1] * x[2]), 'sum')
+            / (sqrt(list_aggregate(list_transform(ea, x -> x * x), 'sum'))
+               * sqrt(list_aggregate(list_transform(eb, x -> x * x), 'sum'))), 6) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
 N_KNN_PTS = 500
 
 
@@ -1276,6 +1342,8 @@ def queries() -> dict:
         "rollup_counts": q_rollup_counts,
         "running_total": q_running_total,
         "geo_knn_fallback": q_geo_knn_fallback,
+        "intl_names": q_intl_names,
+        "embedding_neardup": q_embedding_neardup,
         # Spark-only (rows-only checks)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
@@ -1327,6 +1395,8 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "rollup_counts": SQL_ROLLUP,
         "running_total": SQL_RUNNING,
         "geo_knn_fallback": sql_geo_knn_fallback(),
+        "intl_names": sql_intl_names(),
+        "embedding_neardup": SQL_EMB_NEARDUP,
         "dedup_exact": SQL_DEDUP,
         "token_count": SQL_TOKENS,
         "quality_score": sql_quality_score(),
