@@ -42,9 +42,10 @@ def main() -> None:
         F.expr("cast(2.0 + (id * 7919 % 1300) / 100.0 as double)").alias("lon"),
         F.expr("cast(44.0 + (id * 104729 % 1000) / 100.0 as double)").alias("lat"),
     )
-    # warm up the session (JVM + python workers) so the metric measures
-    # steady-state throughput, not daemon spawn
-    encode_and_assign(pts.limit(100000), zones).count()
+    # warm up the session (JVM JIT + python workers) so the metric
+    # measures steady-state throughput, not daemon spawn — a short warmup
+    # leaves the JVM interpreter-bound and halves the reading
+    encode_and_assign(pts, zones).count()
 
     t0 = time.time()
     n_assigned = encode_and_assign(pts, zones).filter(

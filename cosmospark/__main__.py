@@ -1,0 +1,118 @@
+"""CLI mirroring the reference binary (src/bin/cosmogony.rs):
+
+  python -m cosmospark generate -i zones_raw.jsonl -o cosmogony.jsonl \
+      [--rules rules.json] [--filter-langs fr,de] [--disable-voronoi]
+      [--places places.jsonl] [--checkpoint DIR]
+  python -m cosmospark merge a.jsonl b.jsonl -o merged.jsonl
+
+Formats: JSONL (+ .gz via extension), like the reference's format
+sniffing (cosmogony/src/file_format.rs:12-44). `generate` consumes a
+zones_raw JSONL (pre-assembled boundaries — the graft's zone input
+arrives pre-built, SURVEY.md S1) instead of a PBF. Stats are printed to
+stderr like the reference's pretty output.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _load_rules(spark, path: str | None):
+    from cosmospark.typer import make_rules
+
+    if path is None:
+        # default: the synthetic Luxembourg rule set
+        from cosmospark.fixtures import LUX_RULES_LEVELS
+
+        return make_rules(spark, LUX_RULES_LEVELS)
+    with open(path) as fh:
+        spec = json.load(fh)
+    return make_rules(
+        spark,
+        [tuple(r) for r in spec.get("levels", [])],
+        [tuple(r) for r in spec.get("id_overrides", [])],
+        [tuple(r) for r in spec.get("contained_by", [])],
+    )
+
+
+def cmd_generate(args) -> int:
+    from cosmospark.pipeline import build_zones, read_zones, write_zones
+    from cosmospark.session import get_spark
+    from cosmospark.stats import compute_stats
+    from cosmospark.ztypes import ZONES_RAW_SCHEMA
+
+    spark = get_spark(app_name="cosmospark-generate")
+    spark.sparkContext.setLogLevel("ERROR")
+    raw = read_zones(spark, args.input, schema=ZONES_RAW_SCHEMA)
+    rules = _load_rules(spark, args.rules)
+    places = read_zones(spark, args.places) if args.places else None
+    out = build_zones(
+        spark,
+        raw,
+        rules,
+        checkpoint_root=args.checkpoint,
+        filter_langs=args.filter_langs.split(",") if args.filter_langs else None,
+        places_raw=places,
+        enable_voronoi=not args.disable_voronoi and places is not None,
+    )
+    # drop non-JSON-friendly intermediate columns, keep the Zone surface
+    keep = [
+        c
+        for c in out.columns
+        if c
+        in {
+            "id", "osm_id", "admin_level", "zone_type", "name", "label",
+            "international_labels", "zip_codes", "center", "bbox", "tags",
+            "center_tags", "parent", "wikidata", "is_generated",
+            "country_code", "rings",
+        }
+    ]
+    result = out.select(keep)
+    write_zones(result, args.output)
+    print(json.dumps(compute_stats(result)), file=sys.stderr)
+    spark.stop()
+    return 0
+
+
+def cmd_merge(args) -> int:
+    from cosmospark.merge import merge_zones
+    from cosmospark.pipeline import read_zones, write_zones
+    from cosmospark.session import get_spark
+
+    spark = get_spark(app_name="cosmospark-merge")
+    spark.sparkContext.setLogLevel("ERROR")
+    shards = [read_zones(spark, p) for p in args.inputs]
+    merged = merge_zones(shards)
+    write_zones(merged, args.output)
+    print(json.dumps({"n_zones": merged.count(), "n_shards": len(shards)}), file=sys.stderr)
+    spark.stop()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="cosmospark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate", help="build the zone hierarchy from zones_raw jsonl")
+    g.add_argument("-i", "--input", required=True)
+    g.add_argument("-o", "--output", required=True)
+    g.add_argument("--rules", default=None, help="rules JSON (levels/id_overrides/contained_by)")
+    g.add_argument("--places", default=None, help="place-node jsonl for voronoi generation")
+    g.add_argument("--filter-langs", default=None, help="comma-separated language filter")
+    g.add_argument("--disable-voronoi", action="store_true")
+    g.add_argument("--checkpoint", default=None, help="stage checkpoint dir (resume support)")
+    g.set_defaults(fn=cmd_generate)
+
+    m = sub.add_parser("merge", help="concat shards with dense-id re-offsetting")
+    m.add_argument("inputs", nargs="+")
+    m.add_argument("-o", "--output", required=True)
+    m.set_defaults(fn=cmd_merge)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
