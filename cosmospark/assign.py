@@ -417,10 +417,14 @@ def rollup_cells(assigned: DataFrame, resolutions: tuple[int, ...] = DEFAULT_RES
     an already-aggregated table, never rescanning the fact table."""
     res_sorted = sorted(resolutions)
     finest = res_sorted[-1]
+    # cached: the finest-level aggregate is re-read by every coarser
+    # reduce AND by the final union — without it the fact-table scan
+    # re-executes per resolution level
     base = (
         assigned.groupBy(F.col(f"cell_r{finest}").alias("cell"), "zone_type")
         .agg(F.count("*").alias("n"))
         .withColumn("res", F.lit(finest))
+        .cache()
     )
     out = base
     prev = base

@@ -45,23 +45,39 @@ def type_rank_col(col):
 
 
 def with_bbox_and_area(zones: DataFrame) -> DataFrame:
-    """Derive bbox + area from the rings column (vectorized per batch)."""
+    """Derive bbox + area + centroid from the rings column (one batch
+    pass). The centroid backs the reference's center fallback chain —
+    admin_centre node, else label node, else polygon centroid with NaN
+    guard (src/zone_ext.rs:186-210): explicit centers win via coalesce."""
 
-    schema = T.StructType([T.StructField("bbox", BBOX_TYPE), T.StructField("area", T.DoubleType())])
+    schema = T.StructType(
+        [
+            T.StructField("bbox", BBOX_TYPE),
+            T.StructField("area", T.DoubleType()),
+            T.StructField(
+                "centroid",
+                T.StructType(
+                    [T.StructField("lon", T.DoubleType()), T.StructField("lat", T.DoubleType())]
+                ),
+            ),
+        ]
+    )
 
     @F.pandas_udf(schema)
     def _bbox_area(rings_s: pd.Series) -> pd.DataFrame:
         out = []
         for rows in rings_s:
             if rows is None or len(rows) == 0:
-                out.append({"bbox": None, "area": None})
+                out.append({"bbox": None, "area": None, "centroid": None})
                 continue
             rr = geom.rows_to_rings(rows)
             minx, miny, maxx, maxy = geom.bbox(rr)
+            c = geom.centroid(rr)
             out.append(
                 {
                     "bbox": {"minx": minx, "miny": miny, "maxx": maxx, "maxy": maxy},
                     "area": geom.area(rr),
+                    "centroid": {"lon": c[0], "lat": c[1]} if c else None,
                 }
             )
         return pd.DataFrame(out)
@@ -70,6 +86,8 @@ def with_bbox_and_area(zones: DataFrame) -> DataFrame:
     z = z.withColumn("bbox", F.coalesce(F.col("bbox"), F.col("_ba.bbox"))).withColumn(
         "area", F.col("_ba.area")
     )
+    if "center" in z.columns:
+        z = z.withColumn("center", F.coalesce(F.col("center"), F.col("_ba.centroid")))
     return z.drop("_ba")
 
 

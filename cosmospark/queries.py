@@ -1209,8 +1209,12 @@ def q_minhash_lsh_pairs(spark, sf_dir):
         "transform(sequence(0, size(split(text, ' ')) - 3), "
         "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"
     )
-    shingled = d.select("doc_id", F.array_distinct(sh).alias("shingles")).filter(
-        F.size("shingles") > 0
+    # cached: this lineage is consumed 5× (both join sides of the band
+    # bucket join + both sides of the exact-Jaccard verification)
+    shingled = (
+        d.select("doc_id", F.array_distinct(sh).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .cache()
     )
     n_hash, n_bands = 16, 4
     mh_cols = [
@@ -1231,7 +1235,7 @@ def q_minhash_lsh_pairs(spark, sf_dir):
         )
     from functools import reduce
 
-    banded = reduce(lambda a, c: a.unionByName(c), bands)
+    banded = reduce(lambda a, c: a.unionByName(c), bands).cache()
     cand = (
         banded.alias("a")
         .join(

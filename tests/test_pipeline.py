@@ -132,3 +132,23 @@ class TestCheckpointResume:
         assert m["n_rows"] == 10
         assert m["n_files"] >= 1
         assert all("rows" in f for f in m["files"])  # per-partition lineage
+
+
+class TestCenterFallback:
+    def test_centroid_when_center_missing(self, spark):
+        # center-from-fallback semantics (zone_ext.rs:186-210; the
+        # Gatineau label-node test shape, cosmogony_test.rs:287-311):
+        # an explicit center wins; a missing center falls back to the
+        # polygon centroid; degenerate geometry stays NULL (NaN guard)
+        from cosmospark.fixtures import _zone
+        from cosmospark.hierarchy import with_bbox_and_area
+        from cosmospark.ztypes import ZONES_RAW_SCHEMA
+
+        explicit = _zone(0, "relation:1", 8, "city", "a", (0, 0, 4, 4))
+        explicit["center"] = {"lon": 1.0, "lat": 1.0}
+        fallback = _zone(1, "relation:2", 8, "city", "b", (0, 0, 4, 2))
+        fallback["center"] = None
+        df = spark.createDataFrame([explicit, fallback], schema=ZONES_RAW_SCHEMA)
+        got = {r["id"]: r["center"] for r in with_bbox_and_area(df).collect()}
+        assert (got[0]["lon"], got[0]["lat"]) == (1.0, 1.0)
+        assert (got[1]["lon"], got[1]["lat"]) == (2.0, 1.0)
