@@ -83,11 +83,16 @@ def with_bbox_and_area(zones: DataFrame) -> DataFrame:
         return pd.DataFrame(out)
 
     z = zones.withColumn("_ba", _bbox_area(F.col("rings")))
-    z = z.withColumn("bbox", F.coalesce(F.col("bbox"), F.col("_ba.bbox"))).withColumn(
-        "area", F.col("_ba.area")
+    bbox_col = (
+        F.coalesce(F.col("bbox"), F.col("_ba.bbox")) if "bbox" in zones.columns else F.col("_ba.bbox")
     )
-    if "center" in z.columns:
-        z = z.withColumn("center", F.coalesce(F.col("center"), F.col("_ba.centroid")))
+    z = z.withColumn("bbox", bbox_col).withColumn("area", F.col("_ba.area"))
+    center_col = (
+        F.coalesce(F.col("center"), F.col("_ba.centroid"))
+        if "center" in zones.columns
+        else F.col("_ba.centroid")
+    )
+    z = z.withColumn("center", center_col)
     return z.drop("_ba")
 
 

@@ -58,6 +58,10 @@ def compute_names(zones: DataFrame) -> DataFrame:
     """Merge center-node ``name:*`` tags into tags (zone tags win), iff
     wikidata ids match or the zone is a City with a missing wikidata on
     either side; then recompute international_names."""
+    if "center_tags" not in zones.columns:
+        zones = zones.withColumn(
+            "center_tags", F.expr("cast(map() as map<string,string>)")
+        )
     center_wd = F.col("center_tags")["wikidata"]
     cond = (F.col("wikidata").isNotNull() & (F.col("wikidata") == center_wd)) | (
         (F.col("zone_type") == "city") & (center_wd.isNull() | F.col("wikidata").isNull())
