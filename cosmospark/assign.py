@@ -337,7 +337,13 @@ def assign_images(
     zexpr = F.lit(None).cast("int")
     for t, z in ZONE_TILE_Z.items():
         zexpr = F.when(F.col("zone_type") == t, F.lit(z)).otherwise(zexpr)
-    out = out.withColumn("_ztz", F.coalesce(zexpr, F.lit(tile_z)))
+    # the pyramid zoom is clamped to the image tile zoom: zone_tile_id is
+    # derived from tile_id by ancestor shift, and a shift by a negative
+    # amount (e.g. suburb z13 > default tile_z 12) is undefined — Spark
+    # masks it to 63 and every suburb image would get a bogus tile
+    out = out.withColumn(
+        "_ztz", F.least(F.coalesce(zexpr, F.lit(tile_z)), F.lit(tile_z))
+    )
 
     # re-derive the pyramid tile from the image's own tile by zoom shift:
     # tile (z,x,y) → ancestor at z' = (z', x >> (z-z'), y >> (z-z'))

@@ -210,7 +210,9 @@ def covers(rings_a: list[Ring], rings_b: list[Ring]) -> bool:
     Matches GEOS ``covers`` for valid admin polygons
     (reference src/zone_ext.rs:236-277): every vertex and edge midpoint
     of B is inside-or-on A, no edge of B properly crosses an edge of A,
-    and bbox(B) ⊆ bbox(A).
+    bbox(B) ⊆ bbox(A), and no hole of A lies strictly inside B (a hole
+    whose ring sits in B's interior exposes uncovered interior of B even
+    though all of B's own samples pass and no edges properly cross).
     """
     if not bbox_contains_bbox(bbox(rings_a), bbox(rings_b)):
         return False
@@ -218,7 +220,25 @@ def covers(rings_a: list[Ring], rings_b: list[Ring]) -> bool:
     inside = pip(px, py, rings_a) | on_boundary(px, py, rings_a)
     if not inside.all():
         return False
-    return not segments_properly_cross(rings_a, rings_b)
+    if segments_properly_cross(rings_a, rings_b):
+        return False
+    # hole-of-A check: any sample point of an A-hole ring strictly
+    # interior to B (inside and not on B's boundary) means B's interior
+    # pokes into A's hole → not covered. A hole identical to a hole of B
+    # passes (its samples are ON B's boundary), and B fully inside A's
+    # hole was already rejected by the even-odd pip above.
+    bb = bbox(rings_b)
+    for p, r, xs, ys in rings_a:
+        if r == 0:
+            continue
+        hb = bbox([(p, r, xs, ys)])
+        if not bbox_overlaps(hb, bb):
+            continue
+        hx, hy = _sample_points([(p, r, xs, ys)])
+        strict = pip(hx, hy, rings_b) & ~on_boundary(hx, hy, rings_b)
+        if strict.any():
+            return False
+    return True
 
 
 def intersects(rings_a: list[Ring], rings_b: list[Ring]) -> bool:

@@ -69,6 +69,21 @@ class TestZoneIndex:
         n_full = sum(int(f.sum()) for (_, _, _, f) in idx.csr.values())
         assert n_full > 0
 
+    def test_hole_not_assigned(self):
+        # a zone with a hole must NOT claim points inside the hole, even
+        # when the hole is smaller than a FULL-marked cell (round-1 bug:
+        # covers() missed holes → bbox_covered_by marked hole cells FULL)
+        donut = [
+            (0, 0, np.array([0.0, 0, 10, 10]), np.array([0.0, 10, 10, 0])),
+            (0, 1, np.array([4.0, 4, 6, 6]), np.array([4.0, 6, 6, 4])),
+        ]
+        rows = [{"id": 1, "zone_type": "city", "rings": geom.rings_to_rows(donut)}]
+        idx = ZoneIndex(rows)
+        lon = np.array([5.0, 2.0, 4.0])  # hole center, solid part, hole edge
+        lat = np.array([5.0, 2.0, 5.0])
+        got = idx.assign(lon, lat)
+        assert got.tolist() == [-1, 1, 1]  # boundary of the hole IS covered
+
     def test_knn_fallback(self, lux_zones):
         idx = build_zone_index(lux_zones)
         # a point well outside every zone gets its nearest zone via kNN
@@ -118,11 +133,29 @@ class TestSparkJobs:
         assert out.filter(F.col("zone_id") == -1).count() == 0
         # zone metadata joined
         assert out.filter(F.col("zone_type").isNull()).count() == 0
-        # pyramid tile zoom matches zone type mapping
-        r = out.select("zone_type", "zone_tile_id", "tile_id").first()
-        z, x, y = cells.tile_decode(r["zone_tile_id"])
-        zi, xi, yi = cells.tile_decode(r["tile_id"])
-        assert x == xi >> (zi - z) and y == yi >> (zi - z)
+        # pyramid tile zoom matches the zone-type mapping for EVERY zone
+        # type present (the suburb z13 > tile_z 12 case is live in this
+        # fixture and must clamp to the image tile zoom, not shift by a
+        # negative amount)
+        from cosmospark.assign import DEFAULT_TILE_Z, ZONE_TILE_Z
+
+        rows = out.select("zone_type", "zone_tile_id", "tile_id", "lon", "lat").collect()
+        seen_types = set()
+        for r in rows:
+            seen_types.add(r["zone_type"])
+            z, x, y = cells.tile_decode(r["zone_tile_id"])
+            zi, xi, yi = cells.tile_decode(r["tile_id"])
+            expected_z = min(ZONE_TILE_Z.get(r["zone_type"], DEFAULT_TILE_Z), zi)
+            assert z == expected_z, (r["zone_type"], z, expected_z)
+            assert zi >= z
+            assert x == xi >> (zi - z) and y == yi >> (zi - z)
+            # and the ancestor tile agrees with a direct encode at z
+            direct = cells.tile_encode(
+                np.array([r["lon"]]), np.array([r["lat"]]), z
+            )[0]
+            assert int(direct) == r["zone_tile_id"]
+        # the fixture must actually exercise the z>tile_z clamp path
+        assert "suburb" in seen_types
 
     def test_rollup_hierarchy_consistency(self, spark, lux_zones):
         imgs = spark.createDataFrame(gen_images(500, seed=6), schema=IMAGES_SCHEMA)

@@ -98,6 +98,45 @@ class TestCovers:
         assert not geom.covers(Z3, Z1)
         assert not geom.covers(Z1, Z3)
 
+    def test_hole_inside_b_not_covered(self):
+        # A = donut (0..10 with hole 4..6); B = (3,3)-(7,7) contains the
+        # hole strictly: all B samples are inside A's exterior and no
+        # edges properly cross, but A does NOT cover B (the hole region
+        # is B-interior not covered by A) — GEOS covers agrees
+        donut = [
+            (0, 0, np.array([0.0, 0, 10, 10]), np.array([0.0, 10, 10, 0])),
+            (0, 1, np.array([4.0, 4, 6, 6]), np.array([4.0, 6, 6, 4])),
+        ]
+        assert not geom.covers(donut, sq(3, 3, 7, 7))
+        # B disjoint from the hole is still covered
+        assert geom.covers(donut, sq(1, 1, 3, 3))
+        # B fully inside the hole: not covered (pip rejects)
+        assert not geom.covers(donut, sq(4.5, 4.5, 5.5, 5.5))
+
+    def test_identical_holes_covered(self):
+        # A and B share the same hole: A covers B (hole samples lie ON
+        # B's boundary, not strictly inside)
+        hole = (np.array([4.0, 4, 6, 6]), np.array([4.0, 6, 6, 4]))
+        a = [
+            (0, 0, np.array([0.0, 0, 10, 10]), np.array([0.0, 10, 10, 0])),
+            (0, 1, *hole),
+        ]
+        b = [
+            (0, 0, np.array([1.0, 1, 9, 9]), np.array([1.0, 9, 9, 1])),
+            (0, 1, *hole),
+        ]
+        assert geom.covers(a, b)
+
+    def test_bbox_covered_by_respects_holes(self):
+        # a FULL-cell candidate rect sitting over A's hole must NOT be
+        # marked covered (the ZoneIndex FULL-cell bug from round 1)
+        donut = [
+            (0, 0, np.array([0.0, 0, 10, 10]), np.array([0.0, 10, 10, 0])),
+            (0, 1, np.array([4.0, 4, 6, 6]), np.array([4.0, 6, 6, 4])),
+        ]
+        assert not geom.bbox_covered_by((3.0, 3.0, 7.0, 7.0), donut)
+        assert geom.bbox_covered_by((1.0, 1.0, 3.0, 3.0), donut)
+
 
 class TestIntersects:
     def test_overlap(self):
