@@ -48,6 +48,7 @@ def cmd_generate(args) -> int:
     raw = read_zones(spark, args.input, schema=ZONES_RAW_SCHEMA)
     rules = _load_rules(spark, args.rules)
     places = read_zones(spark, args.places) if args.places else None
+    typing_counters: dict = {}
     out = build_zones(
         spark,
         raw,
@@ -56,6 +57,8 @@ def cmd_generate(args) -> int:
         filter_langs=args.filter_langs.split(",") if args.filter_langs else None,
         places_raw=places,
         enable_voronoi=not args.disable_voronoi and places is not None,
+        country_code=args.country_code,
+        stats=typing_counters,
     )
     # drop non-JSON-friendly intermediate columns, keep the Zone surface
     keep = [
@@ -64,22 +67,30 @@ def cmd_generate(args) -> int:
         if c
         in {
             "id", "osm_id", "admin_level", "zone_type", "name", "label",
+            "loc_name", "alt_name",
             "international_labels", "zip_codes", "center", "bbox", "tags",
             "center_tags", "parent", "wikidata", "is_generated",
             "country_code", "rings",
         }
     ]
     result = out.select(keep)
-    write_zones(result, args.output)
-    print(json.dumps(compute_stats(result)), file=sys.stderr)
+    stats_doc = {**compute_stats(result), **typing_counters}
+    write_zones(result, args.output, osm_filename=args.input, stats=stats_doc)
+    print(json.dumps(stats_doc), file=sys.stderr)
     spark.stop()
     return 0
 
 
 def cmd_merge(args) -> int:
     from cosmospark.merge import merge_zones
-    from cosmospark.pipeline import read_zones, write_zones
+    from cosmospark.pipeline import read_zones, sniff_format, write_zones
     from cosmospark.session import get_spark
+
+    # the reference's merge is streaming-only and refuses whole-doc
+    # formats (src/merger.rs:64-67); mirror the constraint on the output
+    if sniff_format(args.output)[0] != "jsonl":
+        print("merge supports only jsonl outputs (streaming format)", file=sys.stderr)
+        return 2
 
     spark = get_spark(app_name="cosmospark-merge")
     spark.sparkContext.setLogLevel("ERROR")
@@ -102,6 +113,12 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--places", default=None, help="place-node jsonl for voronoi generation")
     g.add_argument("--filter-langs", default=None, help="comma-separated language filter")
     g.add_argument("--disable-voronoi", action="store_true")
+    g.add_argument(
+        "--country-code",
+        default=None,
+        help="force every zone's ISO country (extracts with no country "
+        "boundary; reference src/bin/cosmogony.rs:58-62)",
+    )
     g.add_argument("--checkpoint", default=None, help="stage checkpoint dir (resume support)")
     g.set_defaults(fn=cmd_generate)
 

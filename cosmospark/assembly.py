@@ -21,7 +21,10 @@ Input tables:
   relations(relation_id long, tags map)            — filtered by S2
   rel_members(relation_id long, way_id long, role string)
   ways(way_id long, node_ids array<long>)
-  nodes(node_id long, lon double, lat double)
+  nodes(node_id long, lon double, lat double[, tags map])
+  rel_node_members(relation_id long, node_id long, role string[, seq int])
+      — node members of relations (roles ``label`` / ``admin_centre``),
+      used by the P1 member extraction (src/zone_ext.rs:166-210)
 """
 
 from __future__ import annotations
@@ -47,6 +50,47 @@ def dependency_closure(
         "left_semi",
     )
     return members, kept_ways, kept_nodes
+
+
+def _with_node_tags(nodes: DataFrame) -> DataFrame:
+    if "tags" not in nodes.columns:
+        nodes = nodes.withColumn("tags", F.expr("cast(map() as map<string,string>)"))
+    return nodes
+
+
+NODE_MEMBER_TYPE = T.StructType(
+    [
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+        T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+
+def member_nodes(rel_node_members: DataFrame, nodes: DataFrame) -> DataFrame:
+    """(relation_id, label_node, admin_centre_node) — each relation's
+    role=``label`` / role=``admin_centre`` member node with coordinates
+    and tags (src/zone_ext.rs:166-210). The reference takes the *first*
+    member in relation order (``refs.iter().find``); member order is
+    carried by the optional ``seq`` column (defaults to node_id — admin
+    relations carry at most one node per role in practice)."""
+    nm = rel_node_members.filter(F.col("role").isin("label", "admin_centre"))
+    if "seq" not in nm.columns:
+        nm = nm.withColumn("seq", F.col("node_id"))
+    j = nm.join(_with_node_tags(nodes), "node_id").select(
+        "relation_id", "role", "seq", F.struct("lon", "lat", "tags").alias("node")
+    )
+
+    def _pick(role: str, out: str) -> DataFrame:
+        return (
+            j.filter(F.col("role") == role)
+            .groupBy("relation_id")
+            .agg(F.min_by("node", F.col("seq")).alias(out))
+        )
+
+    labels = _pick("label", "label_node")
+    centres = _pick("admin_centre", "admin_centre_node")
+    return labels.join(centres, "relation_id", "full")
 
 
 def _stitch(segments: list[tuple[list[int], np.ndarray, np.ndarray]]):

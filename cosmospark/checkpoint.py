@@ -40,7 +40,7 @@ def _collect_file_stats(path: str) -> list[dict]:
     return files
 
 
-def write_stage(df: DataFrame, root: str, stage: str) -> dict:
+def write_stage(df: DataFrame, root: str, stage: str, fingerprint: str | None = None) -> dict:
     """Write df as a committed stage snapshot; returns the manifest."""
     final = os.path.join(root, stage)
     tmp = final + "._tmp"
@@ -54,13 +54,23 @@ def write_stage(df: DataFrame, root: str, stage: str) -> dict:
         "n_rows": sum(f["rows"] for f in files),
         "n_files": len(files),
         "files": files,
+        "fingerprint": fingerprint,
         "committed_at": time.time(),
     }
     with open(os.path.join(tmp, MANIFEST), "w") as fh:
         json.dump(manifest, fh, indent=1)
+    # crash-safe commit: the previous snapshot is renamed ASIDE (not
+    # deleted) before the new one renames in — a crash between the two
+    # steps leaves either the old snapshot (recoverable by renaming
+    # back) or both; never zero committed snapshots
+    old = final + "._old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
     if os.path.exists(final):
-        shutil.rmtree(final)
-    os.rename(tmp, final)  # atomic commit
+        os.rename(final, old)
+    os.rename(tmp, final)
+    if os.path.exists(old):
+        shutil.rmtree(old)
     return manifest
 
 
@@ -80,13 +90,39 @@ def read_manifest(root: str, stage: str) -> dict:
 def run_stage(spark: SparkSession, root: str | None, stage: str, fn) -> DataFrame:
     """Resumable stage: reuse a committed snapshot, else compute+commit.
 
-    With root=None checkpointing is disabled and ``fn()`` runs inline
-    (small fixtures / unit tests).
+    With root=None no parquet snapshot is written, but the stage output
+    is still ``localCheckpoint``-ed: stage boundaries MUST truncate the
+    logical plan either way. Downstream stages (iterative parent-chain
+    joins, label fan-out) reference their input many times over — on a
+    deep base lineage (e.g. the raw-OSM extraction: ring-assembly
+    applyInPandas + window + joins) the composed plan tree grows
+    multiplicatively and Catalyst/AQE plan handling alone can OOM the
+    driver. The zone dim is broadcast-scale, so materializing each stage
+    is cheap; at planet scale pass ``root`` and stages become parquet
+    snapshots (which truncate lineage by construction, plus resume).
     """
     if root is None:
-        return fn()
+        return fn().localCheckpoint(eager=True)
     if is_committed(root, stage):
         return read_stage(spark, root, stage)
     df = fn()
     write_stage(df, root, stage)
+    return read_stage(spark, root, stage)
+
+
+def run_stage_fp(
+    spark: SparkSession, root: str | None, stage: str, fingerprint: str | None, fn
+) -> DataFrame:
+    """run_stage with an input fingerprint: a committed snapshot is
+    reused ONLY if its recorded fingerprint matches — otherwise the
+    stage recomputes (silently reusing a stale snapshot after inputs or
+    code changed is the checkpoint footgun)."""
+    if root is None:
+        return fn().localCheckpoint(eager=True)
+    if is_committed(root, stage):
+        m = read_manifest(root, stage)
+        if fingerprint is None or m.get("fingerprint") == fingerprint:
+            return read_stage(spark, root, stage)
+    df = fn()
+    write_stage(df, root, stage, fingerprint=fingerprint)
     return read_stage(spark, root, stage)

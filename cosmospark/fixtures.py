@@ -220,18 +220,144 @@ def detailed_lux_zones(n_vertices: int = 2048) -> list[dict]:
 
 
 # ---------------------------------------------------------------------------
+# Raw-OSM form of the lux world (the reference's actual input shape)
+
+
+def lux_osm_world() -> dict[str, list]:
+    """The lux_world as raw OSM object tables — relations + member ways +
+    nodes — for the raw-OSM front door (S1-S4 + P1 member extraction).
+
+    Mirrors the reference input (src/lib.rs:247-249 object soup): every
+    rectangle becomes a relation with 4 member ways (deterministically
+    rotated, one reversed, exercising the ring stitcher), plus:
+
+    * the country carries a role=``label`` member node whose ``name:br``
+      + ``population`` tags must be merged or_insert (name:fr must NOT
+      overwrite the relation's own, src/zone_ext.rs:166-181);
+    * relation 4000 has BOTH admin_centre and label member nodes —
+      center must come from admin_centre (src/zone_ext.rs:184-192);
+    * relation 4001 has ONLY a label node — center falls back to it (the
+      Gatineau case, tests/cosmogony_test.rs:287-311);
+    * a nameless admin relation and a non-admin relation that must be
+      filtered out (S2, src/lib.rs:31-42 + zone_ext.rs:126-135);
+    * two place nodes (S3/S4): one city, one capital=yes (additional).
+
+    Returns dict of row-lists: relations, rel_members, ways, nodes,
+    rel_node_members (schemas per cosmospark.assembly docstring).
+    """
+    relations, rel_members, ways, nodes, rel_node_members = [], [], [], [], []
+    next_way = [1]
+    next_node = [1]
+
+    def add_rect_relation(rel_id: int, rect, tags: dict):
+        minx, miny, maxx, maxy = rect
+        corners = [(minx, miny), (maxx, miny), (maxx, maxy), (minx, maxy)]
+        nids = []
+        for x, y in corners:
+            nid = next_node[0]
+            next_node[0] += 1
+            nodes.append((nid, float(x), float(y), {}))
+            nids.append(nid)
+        relations.append((rel_id, tags))
+        # 4 edge ways, rotated by rel_id, one reversed per relation
+        for k in range(4):
+            e = (k + rel_id) % 4
+            a, b = nids[e], nids[(e + 1) % 4]
+            wid = next_way[0]
+            next_way[0] += 1
+            seq = [a, b] if (rel_id + k) % 3 else [b, a]
+            ways.append((wid, seq))
+            rel_members.append((rel_id, wid, "outer"))
+
+    def add_member_node(rel_id: int, role: str, lon: float, lat: float, tags: dict):
+        nid = next_node[0]
+        next_node[0] += 1
+        nodes.append((nid, float(lon), float(lat), tags))
+        rel_node_members.append((rel_id, nid, role))
+
+    for z in lux_world():
+        rel_id = int(z["osm_id"].split(":")[1])
+        b = z["bbox"]
+        tags = dict(z["tags"])
+        tags["name"] = z["name"]
+        add_rect_relation(rel_id, (b["minx"], b["miny"], b["maxx"], b["maxy"]), tags)
+
+    # country label member: name:br/population merge (or_insert — the
+    # relation's own name:fr must win over the node's)
+    add_member_node(
+        2171347,
+        "label",
+        LUX_X0 + 6.0,
+        LUX_Y0 + 5.0,
+        {"name:br": "Lussemburg", "population": "672050", "name:fr": "SHOULD_NOT_WIN"},
+    )
+    # relation 4000: admin_centre beats label for center
+    add_member_node(4000, "admin_centre", LUX_X0 + 0.5, LUX_Y0 + 0.5, {"population": "12000"})
+    add_member_node(4000, "label", LUX_X0 + 0.25, LUX_Y0 + 0.25, {})
+    # relation 4001 (the Gatineau case): label node only
+    add_member_node(
+        4001, "label", LUX_X0 + 0.5, LUX_Y0 + 1.5, {"population": "291041", "name:fr": "Gatineau-fr"}
+    )
+
+    # filtered-out relations: nameless admin + non-admin boundary
+    add_rect_relation(
+        7000,
+        (LUX_X0, LUX_Y0, LUX_X0 + 1, LUX_Y0 + 1),
+        {"boundary": "administrative", "admin_level": "8"},
+    )
+    add_rect_relation(
+        7001,
+        (LUX_X0, LUX_Y0, LUX_X0 + 2, LUX_Y0 + 2),
+        {"boundary": "political", "name": "not admin", "admin_level": "8"},
+    )
+
+    # standalone place nodes (S3/S4 input for the voronoi path)
+    nodes.append(
+        (next_node[0], LUX_X0 + 3.5, LUX_Y0 + 3.5, {"place": "city", "name": "Placeville"})
+    )
+    next_node[0] += 1
+    nodes.append(
+        (
+            next_node[0],
+            LUX_X0 + 6.5,
+            LUX_Y0 + 5.5,
+            {"place": "hamlet", "capital": "yes", "name": "Capital Hamlet"},
+        )
+    )
+    next_node[0] += 1
+
+    return {
+        "relations": relations,
+        "rel_members": rel_members,
+        "ways": ways,
+        "nodes": nodes,
+        "rel_node_members": rel_node_members,
+    }
+
+
+# ---------------------------------------------------------------------------
 # Image fact table
 
 
-def gen_images(n: int, seed: int = 42, px: int = 16, skew: float = 0.7) -> list[dict]:
+def gen_images(
+    n: int,
+    seed: int = 42,
+    px: int = 16,
+    skew: float = 0.7,
+    plant_neardup_every: int = 0,
+) -> list[dict]:
     """Deterministic image rows inside the lux_world box.
 
     ``skew`` fraction of coordinates concentrate in 2 megacity communes
-    (exercises salting / AQE skew handling)."""
+    (exercises salting / AQE skew handling). ``plant_neardup_every=k``
+    makes every k-th image a lightly-perturbed copy of its predecessor
+    (±2 on a few pixels) so phash near-dup detection has true positives
+    to find (random-noise images are never within hamming distance)."""
     rng = np.random.default_rng(seed)
     rows = []
     mega = [(LUX_X0 + 0.0, LUX_Y0 + 0.0, LUX_X0 + 1.0, LUX_Y0 + 1.25),
             (LUX_X0 + 6.0, LUX_Y0 + 5.0, LUX_X0 + 7.0, LUX_Y0 + 6.25)]
+    prev_arr = None
     for i in range(n):
         if rng.random() < skew:
             m = mega[i % 2]
@@ -241,6 +367,17 @@ def gen_images(n: int, seed: int = 42, px: int = 16, skew: float = 0.7) -> list[
             lon = rng.uniform(LUX_X0, LUX_X0 + LUX_W)
             lat = rng.uniform(LUX_Y0, LUX_Y0 + LUX_H)
         arr = rng.integers(0, 256, size=(px, px, 3), dtype=np.uint8)
+        if (
+            plant_neardup_every
+            and prev_arr is not None
+            and i % plant_neardup_every == plant_neardup_every - 1
+        ):
+            arr = prev_arr.astype(np.int16)
+            mask = rng.random(arr.shape) < 0.35
+            arr = np.clip(arr + mask * rng.integers(-40, 41, arr.shape), 0, 255).astype(
+                np.uint8
+            )
+        prev_arr = arr
         fmt = "raw" if i % 2 == 0 else "lossy"
         blob = codecs.encode(arr, fmt)
         rows.append(

@@ -67,6 +67,138 @@ def extract_places(raw: DataFrame) -> DataFrame:
     return z.select("osm_id", "name", "zone_type", "admin_level", "lon", "lat", "tags")
 
 
+def extract_zones_from_osm(
+    relations: DataFrame,
+    rel_members: DataFrame,
+    ways: DataFrame,
+    nodes: DataFrame,
+    rel_node_members: DataFrame | None = None,
+) -> DataFrame:
+    """P1 over raw OSM tables (src/zone_ext.rs:118-234): admin relations
+    (S2) → zones_raw rows with assembled boundaries and the member-node
+    extraction the reference does per relation:
+
+    * ``name`` from tags — relations without one are skipped (:126-135);
+    * ``loc_name`` / ``alt_name`` / ``wikidata`` from tags (:152-162);
+    * ``name:*`` + ``population`` tags merged from the role=``label``
+      member node, existing relation tags winning (:166-181);
+    * ``center`` from the role=``admin_centre`` node, else the ``label``
+      node, else NULL → downstream centroid fallback with NaN guard
+      (:184-210; the Gatineau case, tests/cosmogony_test.rs:287-311);
+    * ``center_tags`` = that member node's tags, else empty (:193);
+    * relations whose member ways produce no closed ring are dropped
+      (boundary-less zones are ignored, src/lib.rs:79-81);
+    * dense ids in osm-id order (W1, src/lib.rs:77 BTreeMap order).
+
+    All of it is joins + map expressions (JVM-side); the only Python is
+    the ring stitcher inside ``assemble_boundaries``.
+    """
+    from pyspark.sql.window import Window
+
+    from cosmospark.assembly import assemble_boundaries, member_nodes
+
+    admin = admin_relations(relations).filter(F.col("tags")["name"].isNotNull())
+    rings = assemble_boundaries(admin, rel_members, ways, nodes)
+    z = admin.join(rings.filter(F.size("rings") > 0), "relation_id")
+
+    if rel_node_members is not None:
+        mn = member_nodes(rel_node_members, nodes)
+        z = z.join(F.broadcast(mn), "relation_id", "left")
+    else:
+        z = z.withColumn("label_node", F.lit(None).cast("struct<lon:double,lat:double,tags:map<string,string>>"))
+        z = z.withColumn("admin_centre_node", F.col("label_node"))
+
+    # label-member tag merge: name:* + population, or_insert (zone wins)
+    label_tags = F.coalesce(F.col("label_node.tags"), F.expr("map()"))
+    merged_tags = F.map_concat(
+        F.col("tags"),
+        F.map_filter(
+            label_tags,
+            lambda k, _: (k.startswith("name:") | (k == "population"))
+            & ~F.array_contains(F.map_keys(F.col("tags")), k),
+        ),
+    )
+    centre = F.coalesce(F.col("admin_centre_node"), F.col("label_node"))
+
+    z = z.select(
+        F.concat(F.lit("relation:"), F.col("relation_id")).alias("osm_id"),
+        F.col("tags")["name"].alias("name"),
+        F.col("tags")["admin_level"].cast("int").alias("admin_level"),
+        F.lit(None).cast("string").alias("zone_type"),
+        merged_tags.alias("tags"),
+        F.coalesce(centre["tags"], F.expr("map()")).alias("center_tags"),
+        F.when(
+            centre.isNotNull(),
+            F.struct(centre["lon"].alias("lon"), centre["lat"].alias("lat")),
+        ).alias("center"),
+        F.col("rings"),
+        F.col("tags")["wikidata"].alias("wikidata"),
+        F.coalesce(F.col("tags")["loc_name"], F.lit("")).alias("loc_name"),
+        F.coalesce(F.col("tags")["alt_name"], F.lit("")).alias("alt_name"),
+        F.lit(False).alias("is_generated"),
+        F.col("relation_id"),
+    )
+    # dense surrogate ids in stable relation-id order: the zone dim is
+    # broadcast-scale, so a single-partition window is fine here (and the
+    # merge tool's max_id+1 offsets rely on dense ids, src/merger.rs:47)
+    w = Window.orderBy("relation_id")
+    return z.withColumn("id", (F.row_number().over(w) - 1).cast("long")).drop(
+        "relation_id"
+    )
+
+
+def osm_place_zones(nodes: DataFrame, additional: bool = True) -> DataFrame:
+    """S3/S4 + P2 over the raw nodes table: place nodes → boundary-less
+    place records shaped for ``extract_places`` / Voronoi generation."""
+    from cosmospark.assembly import _with_node_tags
+
+    n = place_nodes(_with_node_tags(nodes), additional=additional)
+    return n.select(
+        F.concat(F.lit("node:"), F.col("node_id")).alias("osm_id"),
+        F.col("tags")["name"].alias("name"),
+        F.col("tags"),
+        F.col("lon"),
+        F.col("lat"),
+    )
+
+
+def build_zones_from_osm(
+    spark: SparkSession,
+    relations: DataFrame,
+    rel_members: DataFrame,
+    ways: DataFrame,
+    nodes: DataFrame,
+    rules: dict[str, DataFrame],
+    rel_node_members: DataFrame | None = None,
+    checkpoint_root: str | None = None,
+    filter_langs: list[str] | None = None,
+    keep_untyped: bool = False,
+    enable_voronoi: bool = False,
+    country_code: str | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """The reference's actual front door (src/lib.rs:236-277): raw OSM
+    object tables → typed/parented/labelled zones. S2-S4 filters run
+    here (is_admin on relations, is_additional_place on nodes), then the
+    pre-assembled-zone pipeline takes over."""
+    zones_raw = extract_zones_from_osm(
+        relations, rel_members, ways, nodes, rel_node_members
+    )
+    places_raw = osm_place_zones(nodes, additional=True) if enable_voronoi else None
+    return build_zones(
+        spark,
+        zones_raw,
+        rules,
+        checkpoint_root=checkpoint_root,
+        filter_langs=filter_langs,
+        keep_untyped=keep_untyped,
+        places_raw=places_raw,
+        enable_voronoi=enable_voronoi,
+        country_code=country_code,
+        stats=stats,
+    )
+
+
 def extract_zone_fields(raw: DataFrame) -> DataFrame:
     """P1-ish projection (src/zone_ext.rs:118-234): rows without a name
     are dropped (:126-135); admin_level parsed from tags when absent;
@@ -98,9 +230,40 @@ def build_zones(
     keep_untyped: bool = False,
     places_raw: DataFrame | None = None,
     enable_voronoi: bool = False,
+    country_code: str | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """zones_raw (ZONES_RAW_SCHEMA-ish) → fully typed/parented/labelled
-    zone table (ZONE_OUT_SCHEMA)."""
+    zone table (ZONE_OUT_SCHEMA).
+
+    ``country_code`` forces every zone's country (the reference's
+    ``--country-code`` flag, src/bin/cosmogony.rs:58-62 + the
+    get_country_code short-circuit, src/lib.rs:96-107) — without it, a
+    world containing no country zone is a hard error (src/lib.rs:119-124).
+    ``stats``, when given a dict, is filled with the typing counters of
+    src/lib.rs:149-181 (zone_without_country / unhandled_admin_level)."""
+
+    # stage input fingerprint: config + zone schema + the full (tiny)
+    # rules content — a committed snapshot is reused only when it
+    # matches, so changing the rules or flags invalidates the resume
+    # point instead of silently reusing stale output. (The zones_raw
+    # CONTENT is not hashed — that would cost a full pass; schema-level
+    # only, documented limitation.)
+    import hashlib as _hashlib
+
+    fp_src = repr(
+        (
+            zones_raw.schema.json(),
+            sorted(filter_langs or []),
+            country_code,
+            enable_voronoi,
+            {k: sorted(map(tuple, v.collect())) for k, v in sorted(rules.items())},
+        )
+    )
+    fingerprint = _hashlib.md5(fp_src.encode()).hexdigest()
+
+    def _stage(name, fn):
+        return ckpt.run_stage_fp(spark, checkpoint_root, name, fingerprint, fn)
 
     def _prep():
         z = extract_zone_fields(zones_raw)
@@ -108,18 +271,21 @@ def build_zones(
         z = with_zip_codes(z)
         return z
 
-    zones = ckpt.run_stage(spark, checkpoint_root, "prep", _prep)
+    zones = _stage("prep", _prep)
     zones = zones.cache()
 
-    inclusions = ckpt.run_stage(
-        spark, checkpoint_root, "inclusions", lambda: find_inclusions(zones)
-    ).cache()
+    inclusions = _stage("inclusions", lambda: find_inclusions(zones)).cache()
 
     def _typed():
-        z = assign_country(zones, inclusions, rules)
+        z = assign_country(zones, inclusions, rules, country_code=country_code)
         return type_zones(z, inclusions, rules)
 
-    typed = ckpt.run_stage(spark, checkpoint_root, "typed", _typed).cache()
+    typed = _stage("typed", _typed).cache()
+
+    if stats is not None:
+        from cosmospark.typer import typing_stats
+
+        stats.update(typing_stats(typed))
 
     parented = ckpt.run_stage(
         spark, checkpoint_root, "parented", lambda: build_hierarchy(typed, inclusions)
@@ -149,20 +315,110 @@ def build_zones(
 
 
 # ---------------------------------------------------------------------------
-# Sinks / sources (S5/S6): JSONL is the native distributed format;
-# gzip via codec option. Format sniffing by extension mirrors
-# cosmogony/src/file_format.rs:12-44.
+# Sinks / sources (S5/S6): the reference's 4 output formats
+# (cosmogony/src/file_format.rs:5-17), sniffed by extension (:20-44):
+#
+#   .jsonl / .jsonl.gz — streaming JSONL, the native distributed format
+#                        (Spark writes it in parallel; gzip via codec);
+#   .json  / .json.gz  — whole-document {"zones": [...], "meta": {...}}
+#                        envelope (cosmogony/src/model.rs:6-10). The zone
+#                        table is broadcast-scale by design (the reference
+#                        holds it in one process), so the whole-doc format
+#                        assembles on the driver — it exists for parity
+#                        and small extracts; planet-scale sinks are JSONL
+#                        or the partitioned parquet in cosmospark.assign.
 
 
-def write_zones(zones: DataFrame, path: str) -> None:
-    writer = zones.write.mode("overwrite")
-    if path.endswith(".gz"):
-        writer = writer.option("compression", "gzip")
-    writer.json(path)
+def sniff_format(path: str) -> tuple[str, bool]:
+    """→ ('json'|'jsonl', gzipped) from the extension, like
+    cosmogony/src/file_format.rs:20-44. Unknown extensions default to
+    jsonl (the reference defaults to .json; JSONL is our native format
+    and the CLI passes explicit extensions)."""
+    base = path[:-3] if path.endswith(".gz") else path
+    gz = path.endswith(".gz")
+    if base.endswith(".json"):
+        return "json", gz
+    return "jsonl", gz
+
+
+def write_zones(
+    zones: DataFrame, path: str, osm_filename: str = "", stats: dict | None = None
+) -> None:
+    fmt, gz = sniff_format(path)
+    if fmt == "jsonl":
+        writer = zones.write.mode("overwrite")
+        if gz:
+            writer = writer.option("compression", "gzip")
+        writer.json(path)
+        return
+
+    # whole-doc envelope {zones, meta:{osm_filename, stats}}
+    # (cosmogony/src/model.rs:6-10; serializer src/bin/cosmogony.rs:113-149)
+    import gzip as _gzip
+    import json as _json
+
+    from cosmospark.stats import compute_stats
+
+    lines = zones.toJSON().collect()
+    meta = {
+        "osm_filename": osm_filename,
+        "stats": stats if stats is not None else compute_stats(zones),
+    }
+    doc = (
+        '{"zones": ['
+        + ", ".join(lines)
+        + '], "meta": '
+        + _json.dumps(meta)
+        + "}"
+    )
+    if gz:
+        with _gzip.open(path, "wt", encoding="utf-8") as fh:
+            fh.write(doc)
+    else:
+        with open(path, "w", encoding="utf-8") as fh:
+            fh.write(doc)
 
 
 def read_zones(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """Read any of the 4 formats back as a zone DataFrame (S6,
+    cosmogony/src/read.rs:7-71)."""
+    import os
+
+    fmt, gz = ("jsonl", False) if os.path.isdir(path) else sniff_format(path)
     r = spark.read
     if schema is not None:
         r = r.schema(schema)
-    return r.json(path)
+    if fmt == "jsonl":
+        return r.json(path)
+
+    # whole-doc: parse the envelope on the driver, re-emit as a temp
+    # JSONL so the distributed reader (and its schema handling) is the
+    # single code path
+    import gzip as _gzip
+    import json as _json
+    import tempfile
+
+    opener = _gzip.open if gz else open
+    with opener(path, "rt", encoding="utf-8") as fh:
+        doc = _json.load(fh)
+    tmp = tempfile.NamedTemporaryFile(
+        "w", suffix=".jsonl", delete=False, encoding="utf-8"
+    )
+    with tmp as fh:
+        for z in doc.get("zones", []):
+            fh.write(_json.dumps(z) + "\n")
+    return r.json(tmp.name)
+
+
+def read_meta(path: str) -> dict | None:
+    """The meta envelope of a whole-doc cosmogony file (None for JSONL,
+    which carries no meta — like the reference's streaming format)."""
+    fmt, gz = sniff_format(path)
+    if fmt != "json":
+        return None
+    import gzip as _gzip
+    import json as _json
+
+    opener = _gzip.open if gz else open
+    with opener(path, "rt", encoding="utf-8") as fh:
+        return _json.load(fh).get("meta")

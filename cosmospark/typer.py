@@ -85,11 +85,32 @@ def find_countries(zones: DataFrame, rules: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-def assign_country(zones: DataFrame, inclusions: DataFrame, rules: dict[str, DataFrame]) -> DataFrame:
+def assign_country(
+    zones: DataFrame,
+    inclusions: DataFrame,
+    rules: dict[str, DataFrame],
+    country_code: str | None = None,
+) -> DataFrame:
     """Add ``country_code``: max-admin_level country among inclusion
     ancestors ∪ self (country_finder.rs:41-48). Tie-break: max zone id
-    (Rust max_by_key keeps the last maximum; self comes last)."""
+    (Rust max_by_key keeps the last maximum; self comes last).
+
+    ``country_code`` forces the same (uppercased) code onto every zone —
+    the reference's ``--country-code`` flag for extracts that carry no
+    country boundary (src/lib.rs:96-107). Without it, a zone table in
+    which no country zone can be found is a hard error
+    (src/lib.rs:119-124): better to fail than silently emit an all-NULL
+    untyped cosmogony."""
+    if country_code is not None:
+        return zones.withColumn("country_code", F.lit(country_code.upper()))
+
     countries = find_countries(zones, rules)
+    if countries.isEmpty():
+        raise ValueError(
+            "no country_code has been provided and no country has been "
+            "found, we won't be able to make a cosmogony "
+            "(reference src/lib.rs:119-124)"
+        )
 
     self_edges = zones.select(F.col("id").alias("child"), F.col("id").alias("parent"))
     edges = inclusions.select("child", "parent").unionByName(self_edges)
@@ -191,3 +212,30 @@ def type_zones(zones: DataFrame, inclusions: DataFrame, rules: dict[str, DataFra
 def clean_untagged_zones(zones: DataFrame) -> DataFrame:
     """Drop zones with NULL zone_type (src/lib.rs:196-201)."""
     return zones.filter(F.col("zone_type").isNotNull())
+
+
+def typing_stats(typed: DataFrame) -> dict:
+    """The typing counters of src/lib.rs:149-181, computed AFTER typing
+    and BEFORE clean_untagged_zones drops the failures:
+
+    * ``zone_without_country``  — zones where no country could be found
+      (country_code NULL → typing impossible, src/lib.rs:151-157);
+    * ``unhandled_admin_level`` — per country: counts of zones whose
+      admin_level has no rule (country known, zone_type NULL,
+      src/lib.rs:166-180), keyed by level (0 = missing level).
+
+    Two tiny aggs over the broadcast-scale zone dim (one pass each)."""
+    no_country = typed.filter(F.col("country_code").isNull()).count()
+    rows = (
+        typed.filter(F.col("country_code").isNotNull() & F.col("zone_type").isNull())
+        .groupBy("country_code", F.coalesce(F.col("admin_level"), F.lit(0)).alias("lvl"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    unhandled: dict[str, dict[int, int]] = {}
+    for r in rows:
+        unhandled.setdefault(r["country_code"], {})[int(r["lvl"])] = int(r["n"])
+    return {
+        "zone_without_country": int(no_country),
+        "unhandled_admin_level": unhandled,
+    }

@@ -95,6 +95,10 @@ ZONE_OUT_SCHEMA = T.StructType(
         T.StructField("country_code", T.StringType(), True),
         T.StructField("zip_codes", T.ArrayType(T.StringType()), True),
         T.StructField("wikidata", T.StringType(), True),
+        # loc_name / alt_name from relation tags (src/zone_ext.rs:152-162;
+        # empty string when absent, matching the reference's default)
+        T.StructField("loc_name", T.StringType(), True),
+        T.StructField("alt_name", T.StringType(), True),
         T.StructField("label", T.StringType(), True),
         T.StructField(
             "international_labels", T.MapType(T.StringType(), T.StringType()), True
