@@ -55,6 +55,29 @@ def main() -> None:
     timings["pip_assign"] = round(pip_sec, 3)
     images_per_sec = n_pip / pip_sec if pip_sec > 0 else 0.0
 
+    # --- skew: 70% of points in 2 megacity communes → one zone_id
+    # carries most of the rollup; exercises salted_count + AQE skew
+    # handling with a number attached (VERDICT r1 #10)
+    from cosmospark.assign import salted_count
+
+    mega = F.expr(
+        "case when id % 10 < 7 then"
+        " named_struct('lon', cast(2.0 + (id % 2) * 6.0 + (id * 7919 % 100) / 100.0 as double),"
+        "              'lat', cast(44.0 + (id % 2) * 5.0 + (id * 104729 % 125) / 100.0 as double))"
+        " else named_struct('lon', cast(2.0 + (id * 7919 % 1300) / 100.0 as double),"
+        "                   'lat', cast(44.0 + (id * 104729 % 1000) / 100.0 as double)) end"
+    )
+    pts_skew = spark.range(n_pip).select(
+        F.col("id").alias("pid"), mega.alias("p")
+    ).select("pid", F.col("p.lon").alias("lon"), F.col("p.lat").alias("lat"))
+    skew_assigned = encode_and_assign(pts_skew, zones)
+    salted_count(skew_assigned, ["zone_id"], n_salt=32, salt_col="pid").count()  # warm
+    t0 = time.time()
+    zc = salted_count(skew_assigned, ["zone_id"], n_salt=32, salt_col="pid")
+    skew_rows = zc.agg(F.sum("n").alias("t"), F.max("n").alias("mx")).collect()[0]
+    timings["pip_skewed_salted_rollup"] = round(time.time() - t0, 3)
+    skew_top_key_frac = round(skew_rows["mx"] / skew_rows["t"], 3)
+
     # --- representative image pipeline (decode+invariants+phash+PIP) -------
     img_path = os.environ.get("COSMOSPARK_BENCH_IMG", "/tmp/cosmospark_bench_img_200k.parquet")
     if not os.path.exists(img_path):
@@ -109,6 +132,7 @@ def main() -> None:
         "pip_assigned_rows": n_assigned,
         "image_pipeline_rows_per_sec": image_rows_per_sec,
         "image_pipeline_invariants_ok": int(inv["pix_ok"]) == int(inv["n"]),
+        "skew_top_key_fraction": skew_top_key_frac,
     }
     print(json.dumps(result))
     spark.stop()

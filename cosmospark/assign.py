@@ -229,6 +229,30 @@ def encode_points(
     return df.mapInPandas(_encode, out_schema)
 
 
+# Broadcast budget for the zone geometry index. The reference assumes
+# all zones fit one process (README.md:55-62); we do NOT: above this
+# budget assign_zones(strategy="auto") switches to the partitioned
+# cell-cogroup join, because a pickled multi-GB index broadcast to every
+# executor is exactly the planet-scale failure hierarchy.find_inclusions
+# already refuses (hierarchy.py geometry-join comment).
+BROADCAST_BUDGET_BYTES = 256 << 20
+
+
+def estimate_zone_geom_bytes(zones: DataFrame) -> int:
+    """Estimated in-memory size of the broadcast ZoneIndex: 16 bytes per
+    vertex (two float64) + ~200 bytes/zone overhead. One JVM-side agg —
+    no geometry is collected to decide the strategy."""
+    row = zones.select(
+        F.sum(
+            F.expr(
+                "aggregate(coalesce(rings, array()), 0L, (acc, r) -> acc + 16 * size(r.xs))"
+            )
+        ).alias("geom"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    return int(row["geom"] or 0) + 200 * int(row["n"])
+
+
 def assign_zones(
     points: DataFrame,
     zones: DataFrame,
@@ -236,11 +260,40 @@ def assign_zones(
     lat_col: str = "lat",
     knn_fallback: bool = False,
     index_max_cells: int = INDEX_MAX_CELLS,
+    strategy: str = "broadcast",
+    id_col: str | None = None,
+    broadcast_budget_bytes: int = BROADCAST_BUDGET_BYTES,
 ) -> DataFrame:
     """points + zone_id (long, -1 if unassigned and no kNN fallback).
 
-    One broadcast + one narrow mapInPandas: the scalable path for the
-    10^12-row fact table."""
+    strategy:
+      * ``broadcast`` — compile the zone dim into a per-cell index on the
+        driver, broadcast once, ONE narrow mapInPandas over the fact
+        side (zero shuffles; the default — zone dims are broadcast-scale
+        by design);
+      * ``partitioned`` — no driver collect / no geometry broadcast:
+        zones explode to (res, cell) rows, points explode per index
+        resolution, and a cogroup-per-cell PIP join + per-point argmin
+        resolves the zone. Requires ``id_col`` (a unique point key).
+        This is the fallback for zone tables above broadcast budget
+        (planet-scale detailed geometry can be tens of GB);
+      * ``auto`` — measure the geometry size JVM-side and pick.
+    """
+    if strategy == "auto":
+        est = estimate_zone_geom_bytes(zones)
+        strategy = (
+            "broadcast"
+            if est <= broadcast_budget_bytes or id_col is None
+            else "partitioned"
+        )
+    if strategy == "partitioned":
+        if id_col is None:
+            raise ValueError("partitioned strategy requires id_col (unique point key)")
+        return assign_zones_partitioned(
+            points, zones, lon_col, lat_col,
+            knn_fallback=knn_fallback, index_max_cells=index_max_cells, id_col=id_col,
+        )
+
     spark = points.sparkSession
     index = build_zone_index(zones, index_max_cells)
     bc = spark.sparkContext.broadcast(index)
@@ -256,6 +309,206 @@ def assign_zones(
             yield pdf
 
     return points.mapInPandas(_assign, out_schema)
+
+
+_ZONE_CELLS_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "cells",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("res", T.IntegerType()),
+                        T.StructField("cell", T.LongType()),
+                        T.StructField("full", T.BooleanType()),
+                    ]
+                )
+            ),
+        ),
+        # rings flattened to binary: the nested rings struct segfaults
+        # pyspark's cogroup Arrow deserializer (mapInPandas is fine);
+        # the flat encoding also shrinks the shuffle payload
+        T.StructField("rings_bin", T.BinaryType()),
+        # geom.area of the SAME numpy rings the broadcast ZoneIndex
+        # uses — bit-identical argmin tie-break across both strategies
+        T.StructField("area", T.DoubleType()),
+    ]
+)
+
+
+def _zone_cells_with_full(zones: DataFrame, max_cells: int) -> DataFrame:
+    """(zone_id, res, cell, full, rank, area, rings_bin) — the
+    distributed twin of the ZoneIndex CSR buckets, kept as a DataFrame
+    instead of a driver-pickled broadcast."""
+    from cosmospark.hierarchy import type_rank_col
+
+    @F.pandas_udf(_ZONE_CELLS_SCHEMA)
+    def _cells(rings_s: pd.Series) -> pd.DataFrame:
+        out = []
+        for rows in rings_s:
+            if rows is None or len(rows) == 0:
+                out.append({"cells": [], "rings_bin": b"", "area": 0.0})
+                continue
+            rr = geom.rows_to_rings(rows)
+            minx, miny, maxx, maxy = geom.bbox(rr)
+            res = cells.fit_res(minx, miny, maxx, maxy, max_cells)
+            acc = []
+            for c in cells.cells_for_bbox(minx, miny, maxx, maxy, res):
+                rect = cells.cell_bounds(int(c), res)
+                acc.append(
+                    {"res": res, "cell": int(c), "full": geom.bbox_covered_by(rect, rr)}
+                )
+            out.append(
+                {"cells": acc, "rings_bin": geom.pack_rings(rr), "area": geom.area(rr)}
+            )
+        return pd.DataFrame(out)
+
+    rank = F.coalesce(type_rank_col(F.col("zone_type")), F.lit(len(TYPE_RANK)))
+    z = zones.select(
+        F.col("id").alias("zone_id"), rank.alias("rank"), F.col("rings")
+    ).withColumn("rc", _cells("rings"))
+    return z.select(
+        "zone_id", "rank",
+        F.col("rc.area").alias("area"),
+        F.col("rc.rings_bin").alias("rings_bin"),
+        F.explode("rc.cells").alias("e"),
+    ).select(
+        "zone_id", "rank", "area", "rings_bin",
+        F.col("e.res").alias("res"), F.col("e.cell").alias("cell"),
+        F.col("e.full").alias("full"),
+    )
+
+
+def assign_zones_partitioned(
+    points: DataFrame,
+    zones: DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    knn_fallback: bool = False,
+    index_max_cells: int = INDEX_MAX_CELLS,
+    id_col: str = "pid",
+) -> DataFrame:
+    """The no-broadcast zone assignment: shuffle-join points and zone
+    geometry on (res, cell), refine with the same numpy PIP kernel inside
+    a cogroup, resolve per-point (rank, area, id) argmin JVM-side.
+
+    Semantics identical to the broadcast path (same kernels, same
+    tie-break); cost profile differs: one shuffle of the fact side per
+    index resolution + one shuffle for the argmin — the price of not
+    shipping tens-of-GB geometry to every executor. Hot cells (megacity
+    skew) are AQE's problem here, which is exactly where we want it.
+    """
+    spark = points.sparkSession
+    zcells = _zone_cells_with_full(zones, index_max_cells).cache()
+    res_list = sorted(r["res"] for r in zcells.select("res").distinct().collect())
+    if not res_list:
+        out = points.withColumn("zone_id", F.lit(-1).cast("long"))
+        return out
+
+    finest = max(res_list)
+    pts = points.select(id_col, lon_col, lat_col)
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lon = pdf[lon_col].to_numpy(dtype=np.float64)
+            lat = pdf[lat_col].to_numpy(dtype=np.float64)
+            base = cells.cell_encode(lon, lat, finest)
+            for r in res_list:
+                pdf[f"_c{r}"] = base >> (2 * (finest - r))
+            yield pdf
+
+    enc_schema = T.StructType(
+        pts.schema.fields + [T.StructField(f"_c{r}", T.LongType()) for r in res_list]
+    )
+    enc = pts.mapInPandas(_encode, enc_schema)
+    res_struct = F.array(
+        *[
+            F.struct(F.lit(r).alias("res"), F.col(f"_c{r}").alias("cell"))
+            for r in res_list
+        ]
+    )
+    pcells = enc.select(id_col, lon_col, lat_col, F.explode(res_struct).alias("e")).select(
+        id_col, lon_col, lat_col,
+        F.col("e.res").alias("res"), F.col("e.cell").alias("cell"),
+    )
+
+    cand_schema = T.StructType(
+        [
+            T.StructField("pid", points.schema[id_col].dataType),
+            T.StructField("zone_id", T.LongType()),
+            T.StructField("rank", T.IntegerType()),
+            T.StructField("area", T.DoubleType()),
+        ]
+    )
+
+    def _pip_group(key, pg: pd.DataFrame, zg: pd.DataFrame) -> pd.DataFrame:
+        if len(pg) == 0 or len(zg) == 0:
+            return pd.DataFrame(
+                {f.name: pd.Series(dtype="object") for f in cand_schema.fields}
+            )
+        lon = pg[lon_col].to_numpy(dtype=np.float64)
+        lat = pg[lat_col].to_numpy(dtype=np.float64)
+        pids = pg[id_col].to_numpy()
+        out_pid, out_zid, out_rank, out_area = [], [], [], []
+        for zrow in zg.itertuples(index=False):
+            if zrow.full:
+                hit = np.ones(len(lon), dtype=bool)
+            else:
+                rr = geom.unpack_rings(zrow.rings_bin)
+                hit = geom.pip_covers(lon, lat, rr)
+            idxs = np.nonzero(hit)[0]
+            if len(idxs):
+                out_pid.extend(pids[idxs])
+                out_zid.extend([zrow.zone_id] * len(idxs))
+                out_rank.extend([zrow.rank] * len(idxs))
+                out_area.extend([zrow.area] * len(idxs))
+        return pd.DataFrame(
+            {"pid": out_pid, "zone_id": out_zid, "rank": out_rank, "area": out_area}
+        )
+
+    cand = (
+        pcells.groupBy("res", "cell")
+        .cogroup(zcells.groupBy("res", "cell"))
+        .applyInPandas(_pip_group, cand_schema)
+    )
+    winners = cand.groupBy("pid").agg(
+        F.min_by("zone_id", F.struct(F.col("rank"), F.col("area"), F.col("zone_id"))).alias(
+            "zone_id"
+        )
+    )
+    out = points.join(
+        winners.withColumnRenamed("pid", id_col), id_col, "left"
+    ).withColumn("zone_id", F.coalesce(F.col("zone_id"), F.lit(-1)).cast("long"))
+
+    if knn_fallback:
+        # centroids are tiny at any scale → always broadcastable
+        cent_rows = [
+            (int(r["id"]), r["center"]["lon"], r["center"]["lat"])
+            for r in zones.select("id", "center").collect()
+            if r["center"] is not None
+        ]
+        if cent_rows:
+            ids = np.array([r[0] for r in cent_rows], dtype=np.int64)
+            cx = np.array([r[1] for r in cent_rows], dtype=np.float64)
+            cy = np.array([r[2] for r in cent_rows], dtype=np.float64)
+            bc = spark.sparkContext.broadcast((ids, cx, cy))
+            out_schema = T.StructType(out.schema.fields)
+
+            def _knn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                kids, kx, ky = bc.value
+                for pdf in batches:
+                    miss = pdf["zone_id"].to_numpy() == -1
+                    if miss.any():
+                        lon = pdf.loc[miss, lon_col].to_numpy(dtype=np.float64)
+                        lat = pdf.loc[miss, lat_col].to_numpy(dtype=np.float64)
+                        d2 = (lon[:, None] - kx[None, :]) ** 2 + (lat[:, None] - ky[None, :]) ** 2
+                        vals = pdf["zone_id"].to_numpy().copy()
+                        vals[miss] = kids[np.argmin(d2, axis=1)]
+                        pdf["zone_id"] = vals
+                    yield pdf
+
+            out = out.mapInPandas(_knn, out_schema)
+    return out
 
 
 # zoom level of a zone's tile pyramid, by zone type (coarse types → coarse

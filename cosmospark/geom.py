@@ -298,6 +298,37 @@ def bbox_covered_by(rect, rings: list[Ring]) -> bool:
     return covers(rings, make_rect(minx, miny, maxx, maxy))
 
 
+def pack_rings(rings: list[Ring]) -> bytes:
+    """Flat binary encoding of a multipolygon: per ring
+    int32 poly | int32 ring | int32 n | n×float64 xs | n×float64 ys.
+    Used where the nested array<struct<..array<double>>> column cannot
+    travel (pyspark's cogroup Arrow deserializer segfaults on it)."""
+    parts = []
+    for p, r, xs, ys in rings:
+        xs = np.asarray(xs, dtype=np.float64)
+        ys = np.asarray(ys, dtype=np.float64)
+        head = np.array([p, r, len(xs)], dtype=np.int32)
+        parts.append(head.tobytes())
+        parts.append(xs.tobytes())
+        parts.append(ys.tobytes())
+    return b"".join(parts)
+
+
+def unpack_rings(buf: bytes) -> list[Ring]:
+    out: list[Ring] = []
+    mv = memoryview(buf)
+    off = 0
+    while off < len(mv):
+        p, r, n = np.frombuffer(mv, dtype=np.int32, count=3, offset=off)
+        off += 12
+        xs = np.frombuffer(mv, dtype=np.float64, count=n, offset=off)
+        off += 8 * n
+        ys = np.frombuffer(mv, dtype=np.float64, count=n, offset=off)
+        off += 8 * n
+        out.append((int(p), int(r), xs, ys))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # (de)serialization between the Spark rings column and numpy rings
 

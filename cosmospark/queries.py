@@ -657,6 +657,92 @@ SELECT osm_id, zone_type, label FROM labelled ORDER BY osm_id
 """
 
 
+_OSM_SCHEMAS = {
+    "relations": "relation_id long, tags map<string,string>",
+    "rel_members": "relation_id long, way_id long, role string",
+    "ways": "way_id long, node_ids array<long>",
+    "nodes": "node_id long, lon double, lat double, tags map<string,string>",
+    "rel_node_members": "relation_id long, node_id long, role string",
+}
+
+
+def q_geo_osm_extract(spark, sf_dir):
+    """S1-S2 + P1 — the raw-OSM front door: admin-relation filter, ring
+    assembly, label-member tag merge (or_insert), admin_centre/label
+    center precedence, loc_name/alt_name/wikidata extraction
+    (src/zone_ext.rs:118-234) — verified relationally by a DuckDB oracle
+    that re-implements the same precedence over the raw member tables."""
+    from cosmospark.fixtures import lux_osm_world
+    from cosmospark.pipeline import extract_zones_from_osm
+
+    w = lux_osm_world()
+    dfs = {k: spark.createDataFrame(w[k], _OSM_SCHEMAS[k]) for k in _OSM_SCHEMAS}
+    ext = extract_zones_from_osm(
+        dfs["relations"], dfs["rel_members"], dfs["ways"], dfs["nodes"],
+        dfs["rel_node_members"],
+    )
+    return ext.select(
+        "osm_id",
+        "name",
+        "admin_level",
+        F.col("tags")["name:fr"].alias("name_fr"),
+        F.col("tags")["name:br"].alias("name_br"),
+        F.col("tags")["population"].alias("population"),
+        "loc_name",
+        "alt_name",
+        "wikidata",
+        F.col("center.lon").alias("center_lon"),
+        F.col("center.lat").alias("center_lat"),
+    ).orderBy("osm_id")
+
+
+def sql_geo_osm_extract():
+    """The raw relation/member-node inputs as VALUES tables; the SQL
+    re-derives the S2 filter + or_insert merge + center precedence."""
+    from cosmospark.fixtures import lux_osm_world
+
+    w = lux_osm_world()
+
+    def s(v):  # SQL string literal / NULL
+        return "NULL" if v is None else "'" + str(v).replace("'", "''") + "'"
+
+    rel_rows = []
+    for rid, tags in w["relations"]:
+        rel_rows.append(
+            f"({rid}, {s(tags.get('boundary'))}, {s(tags.get('admin_level'))}, "
+            f"{s(tags.get('name'))}, {s(tags.get('name:fr'))}, {s(tags.get('wikidata'))})"
+        )
+    node_tags = {nid: (lon, lat, tags) for nid, lon, lat, tags in w["nodes"]}
+    lab_rows, cen_rows = [], []
+    for rid, nid, role in w["rel_node_members"]:
+        lon, lat, tags = node_tags[nid]
+        if role == "label":
+            lab_rows.append(
+                f"({rid}, {lon!r}, {lat!r}, {s(tags.get('name:br'))}, "
+                f"{s(tags.get('name:fr'))}, {s(tags.get('population'))})"
+            )
+        elif role == "admin_centre":
+            cen_rows.append(f"({rid}, {lon!r}, {lat!r})")
+    return f"""
+WITH rels(rel_id, boundary, lvl, name, name_fr, wikidata) AS (VALUES {", ".join(rel_rows)}),
+lab(rel_id, llon, llat, l_name_br, l_name_fr, l_population) AS (VALUES {", ".join(lab_rows)}),
+cen(rel_id, clon, clat) AS (VALUES {", ".join(cen_rows)}),
+adm AS (
+  SELECT * FROM rels
+  WHERE boundary = 'administrative' AND lvl IS NOT NULL AND name IS NOT NULL)
+SELECT 'relation:' || r.rel_id AS osm_id, r.name,
+       CAST(r.lvl AS INT) AS admin_level,
+       COALESCE(r.name_fr, l.l_name_fr) AS name_fr,
+       l.l_name_br AS name_br,
+       l.l_population AS population,
+       '' AS loc_name, '' AS alt_name, r.wikidata,
+       COALESCE(c.clon, l.llon) AS center_lon,
+       COALESCE(c.clat, l.llat) AS center_lat
+FROM adm r LEFT JOIN lab l USING (rel_id) LEFT JOIN cen c USING (rel_id)
+ORDER BY osm_id
+"""
+
+
 def q_events_window(spark, sf_dir):
     """Time-windowed aggregation over the events stream table: per
     (event_type, day) counts + exact cent sums."""
@@ -707,7 +793,11 @@ FROM w ORDER BY doc_id
 """
 
 
-N_HYPERPLANES = 8
+# 12 sign bits → 4 096 buckets. Round 1 used 8 (256 buckets): at 10⁹
+# vectors a bucket held ~4 M rows → near-quadratic verification inside a
+# bucket. Each extra bit halves expected bucket size; at real scale the
+# knob is data-sized (bits ≈ log2(n / target_bucket_rows)).
+N_HYPERPLANES = 12
 
 
 def _hyperplane(j: int, dim: int) -> list[float]:
@@ -838,51 +928,94 @@ FROM w ORDER BY doc_id
 """
 
 
+JACCARD_T = 0.5
+# prefix computed at a slightly lower threshold so the guarantee also
+# covers values that ROUND up to the output threshold
+_JACCARD_PF_T = 0.4999
+
+
 def q_ngram_jaccard(spark, sf_dir):
-    """Near-dup detection: word-set Jaccard over same-source pairs
-    (exact rational arithmetic → identical rounding both sides)."""
+    """Near-dup detection: word-set Jaccard over same-source pairs.
+
+    Scale-correct candidate generation via **prefix filtering** (the
+    AllPairs/ppjoin inverted-index technique): tokens are globally
+    ordered by (document frequency, token); each doc only indexes its
+    first ``|set| - ceil(t·|set|) + 1`` tokens; two docs with jac ≥ t
+    MUST share a prefix token, so joining on prefix tokens has exact
+    recall while hot (high-df) tokens — the Zipf skew killers, which sort
+    LAST — almost never enter the join. Exact Jaccard is then computed
+    from the full token arrays per surviving pair. Round-1's version
+    joined on every token occurrence: one stopword key carried a
+    quadratic partition at scale."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    w = d.select(
-        "doc_id", "source", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.array_distinct(F.split("text", " ")).alias("toks"),
+    ).withColumn("sz", F.size("toks"))
+    w = toks.select("doc_id", "source", "sz", F.explode("toks").alias("w"))
+    dfreq = w.groupBy("w").agg(F.count("*").alias("dfn"))
+
+    from pyspark.sql.window import Window
+
+    win = Window.partitionBy("doc_id").orderBy("dfn", "w")
+    prefix = (
+        w.join(F.broadcast(dfreq), "w")
+        .withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= F.col("sz") - F.ceil(F.lit(_JACCARD_PF_T) * F.col("sz")) + 1)
+        .select("doc_id", "source", "w")
     )
-    sizes = w.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = w.alias("a")
-    b = w.alias("b")
-    inter = (
-        a.join(
-            b,
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
             (F.col("a.w") == F.col("b.w"))
             & (F.col("a.source") == F.col("b.source"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("inter"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("tka"), F.col("sz").alias("sza"))
+    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tkb"), F.col("sz").alias("szb"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jac", F.round(F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 4))
-        .filter(F.col("jac") >= 0.5)
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("tka", "tkb")))
+        .withColumn(
+            "jac",
+            F.round(F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 4),
+        )
+        .filter(F.col("jac") >= JACCARD_T)
         .select("doc_a", "doc_b", "jac")
         .orderBy("doc_a", "doc_b")
     )
 
 
-SQL_JACCARD = """
-WITH w AS (
-  SELECT DISTINCT doc_id, source, unnest(string_split(text, ' ')) AS w
+SQL_JACCARD = f"""
+WITH toks AS (
+  SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS tks,
+         len(list_distinct(string_split(text, ' '))) AS sz
   FROM documents),
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM w GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-  FROM w a JOIN w b ON a.w = b.w AND a.source = b.source AND a.doc_id < b.doc_id
-  GROUP BY 1, 2)
-SELECT doc_a, doc_b,
-       ROUND(inter / (sa.sz + sb.sz - inter), 4) AS jac
-FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
-WHERE ROUND(inter / (sa.sz + sb.sz - inter), 4) >= 0.5
+w AS (SELECT doc_id, source, sz, unnest(tks) AS w FROM toks),
+dfreq AS (SELECT w, COUNT(*) AS dfn FROM w GROUP BY w),
+ranked AS (
+  SELECT doc_id, source, w.w,
+         row_number() OVER (PARTITION BY doc_id ORDER BY dfn, w.w) AS rn, sz
+  FROM w JOIN dfreq USING (w)),
+prefix AS (
+  SELECT doc_id, source, w FROM ranked
+  WHERE rn <= sz - CEIL({_JACCARD_PF_T} * sz) + 1),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM prefix a JOIN prefix b
+    ON a.w = b.w AND a.source = b.source AND a.doc_id < b.doc_id),
+scored AS (
+  SELECT doc_a, doc_b,
+         ROUND(len(list_intersect(ta.tks, tb.tks)) /
+               (ta.sz + tb.sz - len(list_intersect(ta.tks, tb.tks))), 4) AS jac
+  FROM cand JOIN toks ta ON ta.doc_id = doc_a JOIN toks tb ON tb.doc_id = doc_b)
+SELECT doc_a, doc_b, jac FROM scored WHERE jac >= {JACCARD_T}
 ORDER BY doc_a, doc_b
 """
 
@@ -923,10 +1056,13 @@ def q_ann_brute_force(spark, sf_dir):
     scored = e.filter(F.col("vec_id") != 0).select(
         "vec_id", F.expr(cos).alias("cos_sim")
     )
+    # orderBy().limit(k) plans as TakeOrdered (per-partition top-k +
+    # driver merge) — no single-partition global sort; the row_number
+    # window then runs over only the k surviving rows
+    top = scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(10)
     w = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 10)
+        top.withColumn("rk", F.row_number().over(w))
         .select("rk", "vec_id", "cos_sim")
         .orderBy("rk")
     )
@@ -1120,19 +1256,89 @@ def sql_intl_names():
     )
 
 
+EMB_NEARDUP_T = 0.4
+EMB_NEARDUP_BLOCKS = 4
+# round(x, 6) >= 0.4 is true from 0.3999995 up; the GEMM prune uses a
+# further 1e-9 slack for float64 GEMM-vs-fold summation-order noise
+_EMB_PRUNE_T = EMB_NEARDUP_T - 5.1e-7
+
+
 def q_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup: same-label pairs with cosine ≥ 0.4
-    (sequential fold → bit-identical to the oracle)."""
+    """Embedding-cosine near-dup: same-label pairs with cosine ≥ 0.4 —
+    EXACT semantics (hyperplane LSH cannot guarantee recall at ϑ=0.4:
+    measured < 15% with 4-16 tables on this data, the pairs sit at ~65°).
+    Exact all-pairs is intrinsically quadratic per label; the scale fix
+    is to *distribute* that work, not to skip it:
+
+    1. each label's vectors are split into B blocks (vec_id mod B); the
+       B(B+1)/2 block-pairs fan out as independent cogroup tasks, so no
+       single executor holds a label's full n²/L work (B scales with
+       label size; at 10⁹ rows you'd also switch id→block hashing);
+    2. each task runs ONE float64 GEMM over its (blockA × blockB) tile —
+       vectorized candidate pruning at cosine ≥ ϑ-ε;
+    3. survivors (a tiny set) are re-scored with the sequential-fold SQL
+       expression, bit-identical to the DuckDB oracle's fold.
+
+    Output is exactly the ground-truth pair set (oracle unchanged).
+    For *approximate* similarity at scale, q_ann_lsh is the bucketed path.
+    """
+    import pandas as pd
+
     e = _t(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), F.col("label").alias("la"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), F.col("label").alias("lb"))
+    B = EMB_NEARDUP_BLOCKS
+    base = e.select(
+        "vec_id", "label", "embedding", F.pmod("vec_id", F.lit(B)).alias("blk")
+    )
+    side_a = base.select(
+        "label",
+        F.col("blk").alias("bi"),
+        F.explode(F.expr(f"sequence(blk, {B - 1})")).alias("bj"),
+        "vec_id",
+        "embedding",
+    )
+    side_b = base.select(
+        "label",
+        F.explode(F.expr("sequence(0, blk)")).alias("bi"),
+        F.col("blk").alias("bj"),
+        "vec_id",
+        "embedding",
+    )
+
+    def _gemm(key, la: pd.DataFrame, lb: pd.DataFrame) -> pd.DataFrame:
+        if len(la) == 0 or len(lb) == 0:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")})
+        A = np.stack(la["embedding"].to_numpy()).astype(np.float64)
+        Bm = np.stack(lb["embedding"].to_numpy()).astype(np.float64)
+        na = np.sqrt((A * A).sum(1))
+        nb = np.sqrt((Bm * Bm).sum(1))
+        na[na == 0] = 1.0
+        nb[nb == 0] = 1.0
+        C = (A / na[:, None]) @ (Bm / nb[:, None]).T  # one flat dgemm
+        ia, jb = np.nonzero(C >= _EMB_PRUNE_T)
+        ids_a = la["vec_id"].to_numpy()[ia]
+        ids_b = lb["vec_id"].to_numpy()[jb]
+        lo = np.minimum(ids_a, ids_b)
+        hi = np.maximum(ids_a, ids_b)
+        keep = lo < hi
+        return pd.DataFrame({"id_a": lo[keep], "id_b": hi[keep]})
+
+    cand = (
+        side_a.groupBy("label", "bi", "bj")
+        .cogroup(side_b.groupBy("label", "bi", "bj"))
+        .applyInPandas(_gemm, "id_a long, id_b long")
+        .distinct()
+    )
+    # exact re-score with the sequential fold (bit-identical to DuckDB)
+    va = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    vb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
     dot = "aggregate(zip_with(ea, eb, (x, y) -> x * y), 0D, (a, x) -> a + x)"
     na = "sqrt(aggregate(ea, 0D, (a, x) -> a + x * x))"
     nb = "sqrt(aggregate(eb, 0D, (a, x) -> a + x * x))"
     return (
-        a.join(b, (F.col("la") == F.col("lb")) & (F.col("id_a") < F.col("id_b")))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("cos_sim", F.expr(f"round({dot} / ({na} * {nb}), 6)"))
-        .filter(F.col("cos_sim") >= 0.4)
+        .filter(F.col("cos_sim") >= EMB_NEARDUP_T)
         .select("id_a", "id_b", "cos_sim")
         .orderBy("id_a", "id_b")
     )
@@ -1199,12 +1405,25 @@ SELECT pid, id AS zone_id FROM ranked WHERE rn = 1 ORDER BY pid
 # Spark-only operators (no SQL oracle → driver does rows-only checks)
 
 
+MINHASH_N, MINHASH_BANDS = 16, 4
+MINHASH_JAC_T = 0.4
+
+
 def q_minhash_lsh_pairs(spark, sf_dir):
     """MinHash+LSH near-dup candidates: 3-shingles → 16 minhashes
     (xxhash64 with seeds) → 4 bands × 4 rows → band-bucket join →
-    exact Jaccard verification ≥ 0.4. Not SQL-expressible (xxhash64)."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    words = F.split("text", " ")
+    exact Jaccard verification ≥ 0.4.
+
+    DuckDB has no xxhash64, so the oracle recomputes the signatures with
+    the validated pure-Python XXH64 (cosmospark.xxh, bit-identical to
+    Spark — tests/test_xxh.py), materializes (doc_id, band, bucket) to
+    parquet, and checks the banding + bucket-join + Jaccard verification
+    relationally in SQL (see sql_minhash_lsh_pairs)."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.size(F.split("text", " ")) >= 3)
+    )
     sh = F.expr(
         "transform(sequence(0, size(split(text, ' ')) - 3), "
         "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"
@@ -1266,13 +1485,101 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     )
 
 
-def q_simhash(spark, sf_dir):
-    """SimHash fingerprints: 64-bit sign-aggregated word hashes; pairs at
-    hamming ≤ 12 within same source would be near-dups. Returns the
-    fingerprints (xxhash64-based → Spark-only)."""
-    d = _t(spark, sf_dir, "documents")
+def _minhash_signatures(sf_dir: str):
+    """(doc_id, band, bucket) rows recomputed in pure Python with the
+    Spark-bit-identical XXH64 — the oracle-side twin of the Spark
+    minhash construction above."""
+    import duckdb
+
+    from cosmospark.xxh import Long, xxhash64
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    rows_per_band = MINHASH_N // MINHASH_BANDS
+    out = []
+    for doc_id, text in docs:
+        ws = text.split(" ")
+        if len(ws) < 3:
+            continue
+        shingles = list({" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)})
+        if not shingles:
+            continue
+        mh = [
+            min(xxhash64(s, seed) for s in shingles) for seed in range(MINHASH_N)
+        ]
+        for b in range(MINHASH_BANDS):
+            bucket = xxhash64(
+                *[Long(mh[b * rows_per_band + r]) for r in range(rows_per_band)]
+            )
+            out.append((doc_id, b, bucket))
+    return out
+
+
+_ORACLE_SIDE_DIR = "/tmp/cosmospark_oracle"
+
+
+def _materialize_oracle_parquet(name: str, sf_dir: str, columns: dict) -> str:
+    """Write a small oracle-side table to parquet (DuckDB reads it by
+    absolute path inside the oracle SQL). Deterministic content → safe
+    to overwrite on every oracle_sql() call."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(_ORACLE_SIDE_DIR, exist_ok=True)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(_ORACLE_SIDE_DIR, f"{name}_{tag}.parquet")
+    pq.write_table(pa.table(columns), path)
+    return path
+
+
+def sql_minhash_lsh_pairs(sf_dir: str) -> str:
+    """DuckDB oracle for the MinHash query: signatures/buckets come from
+    the validated Python XXH64 (materialized parquet); the banding
+    bucket-join + exact-Jaccard verification — the relational logic under
+    test — is recomputed by DuckDB from the documents table itself."""
+    sigs = _minhash_signatures(sf_dir)
+    path = _materialize_oracle_parquet(
+        "minhash_bands",
+        sf_dir,
+        {
+            "doc_id": [r[0] for r in sigs],
+            "band": [r[1] for r in sigs],
+            "bucket": [r[2] for r in sigs],
+        },
+    )
+    return f"""
+WITH banded AS (SELECT * FROM '{path}'),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
+         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+  WHERE len(ws) >= 3),
+scored AS (
+  SELECT doc_a, doc_b,
+         ROUND(len(list_intersect(sa.shingles, sb.shingles)) /
+               (len(sa.shingles) + len(sb.shingles)
+                - len(list_intersect(sa.shingles, sb.shingles))), 4) AS jac
+  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)
+SELECT doc_a, doc_b, jac FROM scored WHERE jac >= {MINHASH_JAC_T}
+ORDER BY doc_a, doc_b
+"""
+
+
+SIMHASH_BITS = 16  # demo width; same construction at 64
+SIMHASH_HAM_T = 3
+SIMHASH_BANDS = 4  # 4 bands × 4 bits: pigeonhole-exact at hamming ≤ 3
+
+
+def _simhash_fp_col():
     bits = []
-    for i in range(16):  # 16-bit simhash (demo width, same construction)
+    for i in range(SIMHASH_BITS):
         bit = F.expr(
             f"case when aggregate(split(text, ' '), 0L, "
             f"(acc, w) -> acc + (case when (xxhash64(w) >> {i}) % 2 = 0 then -1 else 1 end)) > 0 "
@@ -1282,26 +1589,181 @@ def q_simhash(spark, sf_dir):
     fp = bits[0]
     for b in bits[1:]:
         fp = fp.bitwiseOR(b)
-    return d.select("doc_id", fp.alias("simhash")).orderBy("doc_id")
+    return fp
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash fingerprints: sign-aggregated word hashes per bit. The
+    DuckDB oracle joins a materialized (word → xxhash64) table (computed
+    with the validated Python XXH64) and re-derives the per-bit majority
+    vote + bit assembly relationally."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", _simhash_fp_col().alias("simhash")).orderBy("doc_id")
+
+
+def sql_simhash(sf_dir: str) -> str:
+    import duckdb
+
+    from cosmospark.xxh import xxhash64
+
+    words = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT DISTINCT unnest(string_split(text, ' ')) AS w "
+            f"FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    ]
+    path = _materialize_oracle_parquet(
+        "simhash_words", sf_dir, {"w": words, "h": [xxhash64(w) for w in words]}
+    )
+    # (h >> i) & 1 extracts bit i under both arithmetic and logical shift
+    # conventions, and matches Spark's `% 2 = 0 → -1 else +1` vote for
+    # negative hashes too (-1 falls into the else branch)
+    return f"""
+WITH wh AS (SELECT * FROM '{path}'),
+t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+j AS (SELECT doc_id, h FROM t JOIN wh USING (w)),
+bitvals AS (
+  SELECT doc_id, i.range AS i,
+         CASE WHEN SUM(CASE WHEN ((h >> i.range) & 1) = 0 THEN -1 ELSE 1 END) > 0
+              THEN (1::BIGINT << i.range) ELSE 0::BIGINT END AS bv
+  FROM j CROSS JOIN range({SIMHASH_BITS}) i GROUP BY doc_id, i.range)
+SELECT doc_id, CAST(SUM(bv) AS BIGINT) AS simhash
+FROM bitvals GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """The SimHash PAIRING step: same-source near-dup pairs at hamming ≤
+    3, via pigeonhole banding (4 bands × 4 bits → a pair at hamming ≤ 3
+    must agree on ≥ 1 band) — equi-join on (source, band, bits), exact
+    bit_count(xor) verification. No cartesian; exact recall."""
+    d = _t(spark, sf_dir, "documents")
+    fp = d.select("doc_id", "source", _simhash_fp_col().alias("simhash"))
+    width = SIMHASH_BITS // SIMHASH_BANDS
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned("simhash", b * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("bits"),
+            )
+            for b in range(SIMHASH_BANDS)
+        ]
+    )
+    banded = fp.select(
+        "doc_id", "source", "simhash", F.explode(band_arr).alias("b")
+    ).select("doc_id", "source", "simhash", "b.band", "b.bits")
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), "source", F.col("simhash").alias("fa"),
+        "band", "bits",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), "source", F.col("simhash").alias("fb"),
+        "band", "bits",
+    )
+    return (
+        a.join(b, ["source", "band", "bits"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b",
+            F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).alias("ham"),
+        )
+        .distinct()
+        .filter(F.col("ham") <= SIMHASH_HAM_T)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def sql_simhash_pairs(sf_dir: str) -> str:
+    """Ground-truth oracle: ALL same-source pairs at hamming ≤ 3 over the
+    SQL-recomputed fingerprints — independently validates both the
+    fingerprints and the banding's exact-recall claim."""
+    inner = sql_simhash(sf_dir)
+    return f"""
+WITH fp AS ({inner}),
+src AS (SELECT doc_id, source FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS ham
+FROM fp a
+JOIN src sa ON sa.doc_id = a.doc_id
+JOIN fp b ON b.doc_id > a.doc_id
+JOIN src sb ON sb.doc_id = b.doc_id AND sb.source = sa.source
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAM_T}
+ORDER BY doc_a, doc_b
+"""
+
+
+PHASH_HAM_T = 8
+# 9 bands over 64 bits (8×7 + 1×8): pigeonhole guarantees that any pair
+# at hamming ≤ 8 collides in at least one band → the banded equi-join
+# has EXACT recall (no cartesian, no approximation)
+_PHASH_BANDS = [(i * 7, 7) for i in range(8)] + [(56, 8)]
+
+
+def _phash_fixture_rows():
+    from cosmospark.fixtures import gen_images
+
+    return gen_images(200, seed=3, plant_neardup_every=10)
 
 
 def q_phash_neardup(spark, sf_dir):
-    """Embedding-free image near-dup: hamming distance between phash
-    values of the synthesized image table (codec + phash are Spark-side
-    numpy — no SQL analog)."""
-    from cosmospark.fixtures import gen_images
+    """Image near-dup via banded hamming join on the 64-bit phash: explode
+    9 pigeonhole bands → equi-join on (band, bits) → exact
+    bit_count(xor) ≤ 8 verification. Scale shape: the join key space is
+    2^7-2^8 values per band × n/collisions — a hash join, never an n²
+    cartesian (the round-1 version was `a.join(b, id_a < id_b)`).
+    Fixture plants a perturbed near-dup every 10 images so the query has
+    real positives (random-noise phashes are never within hamming 8)."""
     from cosmospark.ztypes import IMAGES_SCHEMA
 
-    imgs = spark.createDataFrame(gen_images(200, seed=3), schema=IMAGES_SCHEMA)
-    a = imgs.select(F.col("image_id").alias("id_a"), F.col("phash").alias("pa"))
-    b = imgs.select(F.col("image_id").alias("id_b"), F.col("phash").alias("pb"))
+    imgs = spark.createDataFrame(_phash_fixture_rows(), schema=IMAGES_SCHEMA).select(
+        "image_id", "phash"
+    )
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned("phash", off)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("bits"),
+            )
+            for i, (off, width) in enumerate(_PHASH_BANDS)
+        ]
+    )
+    banded = imgs.select(
+        "image_id", "phash", F.explode(band_arr).alias("b")
+    ).select("image_id", "phash", F.col("b.band").alias("band"), F.col("b.bits").alias("bits"))
+    a = banded.select(
+        F.col("image_id").alias("id_a"), F.col("phash").alias("pa"), "band", "bits"
+    )
+    b = banded.select(
+        F.col("image_id").alias("id_b"), F.col("phash").alias("pb"), "band", "bits"
+    )
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("ham", F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))))
-        .filter(F.col("ham") <= 8)
-        .select("id_a", "id_b", "ham")
+        a.join(b, ["band", "bits"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).alias("ham"))
+        .distinct()
+        .filter(F.col("ham") <= PHASH_HAM_T)
         .orderBy("id_a", "id_b")
     )
+
+
+def sql_phash_neardup():
+    """Ground-truth oracle: ALL-pairs hamming over the same deterministic
+    phash values (bit-reproducible int-DCT phash, emitted as VALUES) —
+    independently validates the banding's exact-recall claim."""
+    vals = ", ".join(f"('{r['image_id']}', {r['phash']})" for r in _phash_fixture_rows())
+    return f"""
+WITH p(image_id, phash) AS (VALUES {vals})
+SELECT a.image_id AS id_a, b.image_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS ham
+FROM p a JOIN p b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_HAM_T}
+ORDER BY id_a, id_b
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1329,6 +1791,7 @@ def queries() -> dict:
         "geo_tile_encode": q_geo_tile_encode,
         "geo_zone_type": q_geo_zone_type,
         "geo_full_labels": q_geo_full_labels,
+        "geo_osm_extract": q_geo_osm_extract,
         "events_window": q_events_window,
         "lang_id": q_lang_id,
         "ann_lsh": q_ann_lsh,
@@ -1348,9 +1811,9 @@ def queries() -> dict:
         "geo_knn_fallback": q_geo_knn_fallback,
         "intl_names": q_intl_names,
         "embedding_neardup": q_embedding_neardup,
-        # Spark-only (rows-only checks)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "phash_neardup": q_phash_neardup,
     }
 
@@ -1390,6 +1853,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "geo_tile_encode": SQL_TILE,
         "geo_zone_type": sql_geo_zone_type(),
         "geo_full_labels": sql_geo_full_labels(),
+        "geo_osm_extract": sql_geo_osm_extract(),
         "events_window": SQL_EVENTS_WINDOW,
         "lang_id": sql_lang_id(),
         "ann_lsh": sql_ann_lsh(_emb_dim(sf_dir)),
@@ -1408,4 +1872,8 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "doc_fingerprint": SQL_FINGERPRINT,
         "ann_brute_force": sql_ann_brute_force(qvec),
         "embedding_stats": SQL_EMB_STATS,
+        "minhash_lsh_pairs": sql_minhash_lsh_pairs(sf_dir),
+        "simhash": sql_simhash(sf_dir),
+        "simhash_pairs": sql_simhash_pairs(sf_dir),
+        "phash_neardup": sql_phash_neardup(),
     }

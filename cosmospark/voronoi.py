@@ -121,11 +121,41 @@ def subtract_rect(rings: list[geom.Ring], rect) -> list[geom.Ring]:
     return out
 
 
+def _is_axis_rect(other: list[geom.Ring]) -> bool:
+    """True iff ``other`` is a single axis-aligned rectangle (no holes)."""
+    exteriors = [r for r in other if r[1] == 0]
+    if len(exteriors) != 1 or len(other) != 1:
+        return False
+    _, _, xs, ys = exteriors[0]
+    xs, ys = geom._close_ring(np.asarray(xs, float), np.asarray(ys, float))
+    if len(xs) != 4:
+        return False
+    minx, miny, maxx, maxy = geom.bbox(other)
+    want = {(minx, miny), (minx, maxy), (maxx, miny), (maxx, maxy)}
+    return set(zip(xs.tolist(), ys.tolist())) == want
+
+
 def subtract_zone(rings: list[geom.Ring], other: list[geom.Ring]) -> list[geom.Ring]:
-    """Subtract ``other`` from ``rings``. Exact when other is an
-    axis-aligned rectangle; otherwise its bbox is used (approximation,
-    logged by the caller)."""
-    return subtract_rect(rings, geom.bbox(other))
+    """Subtract ``other`` from ``rings``. Exact for arbitrary simple
+    polygons via convex decomposition (cosmospark.clip.subtract_polygon:
+    ear-clipped triangles, each subtracted by half-plane wedge
+    decomposition); axis-aligned rectangles keep the cheap 4-piece path.
+    Holes of ``other`` are subtracted conservatively as part of its
+    triangulated exterior (a warning is emitted: the hole's area is
+    over-subtracted — the reference's GEOS difference would keep it,
+    src/additional_zones.rs:198-235)."""
+    if _is_axis_rect(other):
+        return subtract_rect(rings, geom.bbox(other))
+    import warnings
+
+    from cosmospark import clip
+
+    if any(r[1] != 0 for r in other):
+        warnings.warn(
+            "subtract_zone: subtrahend has holes; holes are over-subtracted "
+            "(treated as filled)", stacklevel=2
+        )
+    return clip.subtract_polygon(rings, other)
 
 
 # ---------------------------------------------------------------------------

@@ -168,6 +168,45 @@ class TestSparkJobs:
         }
         assert totals == {4: 500, 7: 500, 9: 500}
 
+    def test_partitioned_strategy_matches_broadcast(self, spark):
+        # the no-broadcast fallback (zone geometry above broadcast
+        # budget) must produce identical assignments on the detailed
+        # 2048-vertex world, including the kNN fallback for misses
+        from cosmospark.assign import estimate_zone_geom_bytes
+        from cosmospark.fixtures import detailed_lux_zones
+
+        zones = spark.createDataFrame(
+            detailed_lux_zones(512), schema=ZONES_RAW_SCHEMA
+        ).cache()
+        est = estimate_zone_geom_bytes(zones)
+        # measured bound: the index the broadcast path would ship
+        n_verts = 512 * (105 + 79) * 16  # communes+localities ellipse rings
+        assert n_verts <= est <= n_verts * 2 + 300 * 200
+        rng = np.random.default_rng(21)
+        pts = [
+            (int(i), float(lon), float(lat))
+            for i, (lon, lat) in enumerate(
+                zip(rng.uniform(1, 17, 600), rng.uniform(43, 55, 600))
+            )
+        ]
+        pdf = spark.createDataFrame(pts, "pid long, lon double, lat double")
+        base = assign_zones(pdf, zones).orderBy("pid").collect()
+        part = assign_zones(
+            pdf, zones, strategy="partitioned", id_col="pid"
+        ).orderBy("pid").collect()
+        assert [r["zone_id"] for r in part] == [r["zone_id"] for r in base]
+        # auto with a tiny budget must route to partitioned
+        auto = assign_zones(
+            pdf, zones, strategy="auto", id_col="pid", broadcast_budget_bytes=1024
+        ).orderBy("pid").collect()
+        assert [r["zone_id"] for r in auto] == [r["zone_id"] for r in base]
+        # kNN fallback parity on out-of-world misses
+        base_k = assign_zones(pdf, zones, knn_fallback=True).orderBy("pid").collect()
+        part_k = assign_zones(
+            pdf, zones, strategy="partitioned", id_col="pid", knn_fallback=True
+        ).orderBy("pid").collect()
+        assert [r["zone_id"] for r in part_k] == [r["zone_id"] for r in base_k]
+
     def test_salted_count(self, spark):
         df = spark.range(1000).withColumn("k", F.pmod(F.col("id"), F.lit(3)))
         got = {r["k"]: r["n"] for r in salted_count(df, ["k"], n_salt=8).collect()}

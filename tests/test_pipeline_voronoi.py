@@ -84,3 +84,110 @@ class TestVoronoiPipeline:
             .collect()
         }
         assert got == {2: 1, 6: 13, 8: 105, 9: 79}
+
+
+class TestIvoryCoastRatio:
+    """The reference's Ivory Coast shape (118 admin → 4471 zones,
+    tests/cosmogony_test.rs:329-332) scaled down: few admin zones, many
+    places → the zone table multiplies; plus a NON-rectangular admin
+    suburb whose geometry must be subtracted EXACTLY from the generated
+    cells (round 1 bbox-approximated it)."""
+
+    @pytest.fixture(scope="class")
+    def ratio_out(self, spark):
+        import numpy as np
+
+        from cosmospark import geom
+
+        def zone(zid, osm, lvl, name, rings, tags):
+            b = geom.bbox(rings)
+            c = geom.centroid(rings)
+            return {
+                "id": zid, "osm_id": osm, "admin_level": lvl, "zone_type": None,
+                "name": name, "tags": tags, "center_tags": {},
+                "center": {"lon": c[0], "lat": c[1]},
+                "rings": geom.rings_to_rows(rings),
+                "bbox": {"minx": b[0], "miny": b[1], "maxx": b[2], "maxy": b[3]},
+                "is_generated": False,
+            }
+
+        admin_tags = {"boundary": "administrative"}
+        world = [
+            zone(0, "relation:1", 2, "Country", geom.make_rect(0, 0, 10, 10),
+                 {**admin_tags, "admin_level": "2", "ISO3166-1:alpha2": "CI"}),
+        ]
+        quads = [(0, 0, 5, 5), (5, 0, 10, 5), (0, 5, 5, 10), (5, 5, 10, 10)]
+        for q, r in enumerate(quads):
+            world.append(
+                zone(1 + q, f"relation:{10 + q}", 8, f"Commune{q}",
+                     geom.make_rect(*r), {**admin_tags, "admin_level": "8"})
+            )
+        # non-rect admin suburb (triangle) inside commune 0
+        tri = [(0, 0, np.array([0.5, 2.0, 0.5]), np.array([0.5, 0.5, 2.0]))]
+        world.append(
+            zone(5, "relation:20", 9, "TriSuburb", tri,
+                 {**admin_tags, "admin_level": "9"})
+        )
+
+        # 15 deterministic places per commune (integer-grid positions,
+        # none inside the triangle)
+        places = []
+        k = 0
+        for q, (a, b, c, d) in enumerate(quads):
+            for m in range(15):
+                # (m*7)%15 is a permutation of 0..14 (gcd(7,15)=1) →
+                # all 15 positions are distinct (coincident places would
+                # make the voronoi bisector degenerate)
+                px = a + 1.0 + ((m * 7) % 15) / 5.0  # 1.0 .. 3.8 offset
+                py = b + 1.0 + ((m * 11) % 15) / 5.0
+                places.append(
+                    (f"node:{9000 + k}", f"P{q}_{m}", None, px, py, {"place": "suburb"})
+                )
+                k += 1
+        rules = make_rules(
+            spark, [("CI", "2", "country"), ("CI", "8", "city"), ("CI", "9", "suburb")]
+        )
+        raw = spark.createDataFrame(world, schema=ZONES_RAW_SCHEMA)
+        pl = spark.createDataFrame(places, PLACES_SCHEMA)
+        out = build_zones(spark, raw, rules, places_raw=pl, enable_voronoi=True).cache()
+        out.count()
+        return out
+
+    def test_zone_count_multiplies(self, ratio_out):
+        # 6 admin zones → 66 total (11× blow-up, the Ivory-Coast shape)
+        assert ratio_out.filter(~F.col("is_generated")).count() == 6
+        assert ratio_out.filter(F.col("is_generated")).count() == 60
+        assert ratio_out.count() == 66
+
+    def test_nonrect_suburb_subtracted_exactly(self, ratio_out):
+        import numpy as np
+
+        from cosmospark import geom
+
+        tri = [(0, 0, np.array([0.5, 2.0, 0.5]), np.array([0.5, 0.5, 2.0]))]
+        gen = [
+            geom.rows_to_rings(r["rings"])
+            for r in ratio_out.filter(F.col("is_generated")).collect()
+        ]
+        # interior points of the triangle must be covered by NO generated
+        # zone (the admin suburb owns them) — the bbox approximation of
+        # round 1 would also have wrongly carved the bbox corner
+        t_pts = (np.array([0.7, 1.0, 0.8]), np.array([0.7, 0.8, 1.2]))
+        for rings in gen:
+            assert not geom.pip(t_pts[0], t_pts[1], rings).any()
+        # a point inside the triangle's BBOX but outside the triangle
+        # stays covered by some generated zone (the round-1 bbox
+        # approximation would have carved it out); disjointness of the
+        # cells is asserted by the exact area sum below
+        bx = np.array([1.8])
+        by = np.array([1.8])
+        assert any(geom.pip(bx, by, rings).any() for rings in gen)
+        # generated areas in commune 0 sum to commune - triangle
+        comm0 = [
+            geom.rows_to_rings(r["rings"])
+            for r in ratio_out.filter(
+                F.col("is_generated") & F.col("name").startswith("P0_")
+            ).collect()
+        ]
+        total = sum(geom.area(r) for r in comm0)
+        assert total == pytest.approx(25.0 - geom.area(tri), rel=1e-6)
