@@ -110,7 +110,13 @@ def main() -> None:
         "ngram_jaccard",
         "doc_fingerprint",
         "ann_brute_force",
+        "ann_ivf",
         "minhash_lsh_pairs",
+        "simhash_pairs",
+        "phash_neardup",
+        "embedding_neardup",
+        "audio_features",
+        "video_frames",
     ]
     qs = queries()
     for name in suite:

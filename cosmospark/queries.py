@@ -959,11 +959,14 @@ def q_ngram_jaccard(spark, sf_dir):
     from pyspark.sql.window import Window
 
     win = Window.partitionBy("doc_id").orderBy("dfn", "w")
+    # cached: the prefix lineage (df join + per-doc window) feeds BOTH
+    # sides of the candidate self-join — uncached it executes twice
     prefix = (
         w.join(F.broadcast(dfreq), "w")
         .withColumn("rn", F.row_number().over(win))
         .filter(F.col("rn") <= F.col("sz") - F.ceil(F.lit(_JACCARD_PF_T) * F.col("sz")) + 1)
         .select("doc_id", "source", "w")
+        .cache()
     )
     cand = (
         prefix.alias("a")
@@ -978,9 +981,13 @@ def q_ngram_jaccard(spark, sf_dir):
     )
     ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("tka"), F.col("sz").alias("sza"))
     tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tkb"), F.col("sz").alias("szb"))
+    # per-doc token arrays broadcast: the candidate side is quadratic in
+    # the doc count, the array side linear — at cluster scale drop the
+    # hint and this becomes a uniform doc-id shuffle join (no skew: doc
+    # ids are unique keys)
     return (
-        cand.join(ta, "doc_a")
-        .join(tb, "doc_b")
+        cand.join(F.broadcast(ta), "doc_a")
+        .join(F.broadcast(tb), "doc_b")
         .withColumn("inter", F.size(F.array_intersect("tka", "tkb")))
         .withColumn(
             "jac",
@@ -1766,6 +1773,229 @@ ORDER BY id_a, id_b
 """
 
 
+IVF_K = 8  # coarse centroids (lists)
+IVF_PROBES = 2  # lists probed per query
+
+
+def _ivf_centroids(sf_dir: str) -> list[list[float]]:
+    """Deterministic coarse centroids: the embeddings of the K smallest
+    vec_ids (data-derived, no RNG — reproducible in both engines). A
+    production build would run a few Lloyd iterations on a sample; the
+    IVF *plumbing* (assignment, probing, list-restricted exact scoring)
+    is identical either way."""
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"WHERE vec_id < {IVF_K} ORDER BY vec_id"
+    ).fetchall()
+    return [[float(v) for v in r[0]] for r in rows]
+
+
+def _dot_expr(vec_col: str, lit_vec: list[float], dialect: str) -> str:
+    """Sequential-fold dot product — bit-identical in Spark and DuckDB."""
+    if dialect == "spark":
+        lit = "array(" + ", ".join(repr(v) + "D" for v in lit_vec) + ")"
+        return f"aggregate(zip_with({vec_col}, {lit}, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+    lit = "[" + ", ".join(repr(v) for v in lit_vec) + "]"
+    return (
+        f"list_aggregate(list_transform(list_zip({vec_col}, {lit}), "
+        f"p -> p[1] * p[2]), 'sum')"
+    )
+
+
+def _ivf_scores_expr(vec_col: str, cents: list[list[float]], dialect: str) -> str:
+    """array of cosine scores against each centroid (norms folded the
+    same way both sides)."""
+    parts = []
+    for c in cents:
+        cn = float(np.sqrt(np.sum(np.asarray(c, dtype=np.float64) ** 2)))
+        dot = _dot_expr(vec_col, c, dialect)
+        if dialect == "spark":
+            nrm = f"sqrt(aggregate({vec_col}, 0D, (a, x) -> a + x * x))"
+        else:
+            nrm = f"sqrt(list_aggregate(list_transform({vec_col}, x -> x * x), 'sum'))"
+        parts.append(f"{dot} / ({nrm} * {cn!r})")
+    if dialect == "spark":
+        return "array(" + ", ".join(parts) + ")"
+    return "[" + ", ".join(parts) + "]"
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF (inverted-file) approximate nearest neighbors — the
+    partition-pruned scale path for similarity search: every vector is
+    assigned to its nearest coarse centroid's list (argmax cosine, first
+    max on ties — array_position semantics match DuckDB list_position
+    because both engines compute the SAME fold doubles); the query
+    probes only the top-P lists, exact top-10 cosine inside them.
+    At 10⁹ vectors the fact table is written partitioned by list_id and
+    a probe scans P/K of the data (Catalyst partition pruning)."""
+    e = _t(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(sf_dir)
+    qvec = cents[0]  # query = vec 0's embedding, as in ann_brute_force
+    qn = float(np.sqrt(np.sum(np.asarray(qvec, dtype=np.float64) ** 2)))
+    # probe selection (driver-side, deterministic): top-P centroids by
+    # cosine to the query
+    cn = [float(np.sqrt(np.sum(np.asarray(c) ** 2))) for c in cents]
+    qsim = []
+    for j, c in enumerate(cents):
+        acc = 0.0
+        for x, y in zip(qvec, c):
+            acc += x * y
+        qsim.append((acc / (qn * cn[j]), -j))
+    probes = sorted(
+        range(IVF_K), key=lambda j: (-qsim[j][0], j)
+    )[:IVF_PROBES]
+
+    scores = _ivf_scores_expr("embedding", cents, "spark")
+    lists = e.withColumn(
+        "list_id", F.expr(f"array_position({scores}, array_max({scores}))").cast("int")
+    )
+    dot = _dot_expr("embedding", qvec, "spark")
+    nrm = "sqrt(aggregate(embedding, 0D, (a, x) -> a + x * x))"
+    cos = f"round({dot} / ({nrm} * {qn!r}), 6)"
+    probed = lists.filter(
+        F.col("list_id").isin([p + 1 for p in probes]) & (F.col("vec_id") != 0)
+    ).select("vec_id", "list_id", F.expr(cos).alias("cos_sim"))
+    top = probed.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(10)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        top.withColumn("rk", F.row_number().over(w))
+        .select("rk", "vec_id", "list_id", "cos_sim")
+        .orderBy("rk")
+    )
+
+
+def sql_ann_ivf(sf_dir: str) -> str:
+    cents = _ivf_centroids(sf_dir)
+    qvec = cents[0]
+    qn = float(np.sqrt(np.sum(np.asarray(qvec, dtype=np.float64) ** 2)))
+    cn = [float(np.sqrt(np.sum(np.asarray(c) ** 2))) for c in cents]
+    qsim = []
+    for j, c in enumerate(cents):
+        acc = 0.0
+        for x, y in zip(qvec, c):
+            acc += x * y
+        qsim.append(acc / (qn * cn[j]))
+    probes = sorted(range(IVF_K), key=lambda j: (-qsim[j], j))[:IVF_PROBES]
+    probe_lits = ", ".join(str(p + 1) for p in probes)
+
+    scores = _ivf_scores_expr("embedding", cents, "duck")
+    dot = _dot_expr("embedding", qvec, "duck")
+    nrm = "sqrt(list_aggregate(list_transform(embedding, x -> x * x), 'sum'))"
+    return f"""
+WITH lists AS (
+  SELECT vec_id, embedding,
+         CAST(list_position({scores}, list_max({scores})) AS INT) AS list_id
+  FROM embeddings),
+probed AS (
+  SELECT vec_id, list_id,
+         ROUND({dot} / ({nrm} * {qn!r}), 6) AS cos_sim
+  FROM lists WHERE list_id IN ({probe_lits}) AND vec_id != 0)
+SELECT rk, vec_id, list_id, cos_sim FROM (
+  SELECT vec_id, list_id, cos_sim,
+         row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rk
+  FROM probed) WHERE rk <= 10 ORDER BY rk
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal operators (audio / video payload columns)
+
+_N_AUDIO = 150
+_N_VIDEO = 120
+_AUDIO_SR = 4000
+_FRAME_EVERY = 4
+
+
+def q_audio_features(spark, sf_dir):
+    """Audio decode + feature extraction over binary pcm16 payloads
+    (cosmospark.multimodal): duration, payload consistency, RMS,
+    zero-crossings, clip count — all reconstructed relationally by the
+    DuckDB oracle from the SAME deterministic sample arithmetic."""
+    from cosmospark import multimodal as mm
+
+    a = spark.createDataFrame(mm.gen_audio(_N_AUDIO, sample_rate=_AUDIO_SR), schema=mm.AUDIO_SCHEMA)
+    return (
+        mm.audio_features(a)
+        .select("audio_id", "duration_sec", "bytes_ok", "rms", "zero_crossings", "clip_count")
+        .orderBy("audio_id")
+    )
+
+
+def sql_audio_features(sf_dir: str) -> str:
+    from cosmospark import multimodal as mm
+
+    rows = mm.gen_audio(_N_AUDIO, sample_rate=_AUDIO_SR)
+    path = _materialize_oracle_parquet(
+        "audio_fixture",
+        sf_dir,
+        {
+            "audio_id": [r["audio_id"] for r in rows],
+            "nbytes": [len(r["bytes"]) for r in rows],
+            "sample_rate": [r["sample_rate"] for r in rows],
+            "n_samples": [r["n_samples"] for r in rows],
+            "channels": [r["channels"] for r in rows],
+        },
+    )
+    A = "6364136223846793005::HUGEINT"
+    C = "1442695040888963407::HUGEINT"
+    m = "18446744073709551616::HUGEINT"
+    base = f"((CAST(audio_id AS HUGEINT) * {A} + {C}) % {m})"
+    v = f"((({base} + CAST(i AS HUGEINT) * 2654435761::HUGEINT) % {m}) * {A}) % {m}"
+    samp = f"CAST((({v}) // 8589934592::HUGEINT) % 65536::HUGEINT - 32768 AS BIGINT)"
+    return f"""
+WITH a AS (SELECT * FROM '{path}'),
+s AS (
+  SELECT audio_id, nbytes, sample_rate, n_samples, channels,
+         n_samples * channels AS total,
+         list_transform(range(0, n_samples * channels), i -> {samp}) AS smp
+  FROM a)
+SELECT audio_id,
+       ROUND(n_samples / sample_rate, 6) AS duration_sec,
+       (nbytes = 14 + 2 * n_samples * channels) AS bytes_ok,
+       ROUND(sqrt(CAST(list_aggregate(list_transform(smp, x -> x * x), 'sum') AS DOUBLE)
+                  / total), 3) AS rms,
+       CAST(list_aggregate(list_transform(range(0, total - 1),
+            i -> CASE WHEN (smp[i + 1] < 0) != (smp[i + 2] < 0) THEN 1 ELSE 0 END),
+            'sum') AS BIGINT) AS zero_crossings,
+       CAST(len(list_filter(smp, x -> abs(x) >= 32000)) AS BIGINT) AS clip_count
+FROM s ORDER BY audio_id
+"""
+
+
+def q_video_frames(spark, sf_dir):
+    """Video frame sampling — the 1→N explosion operator with per-frame
+    decode; the oracle re-derives both the sampled frame indices (from
+    metadata) and the decoded first-pixel content (from the portable
+    integer arithmetic of the fake codec)."""
+    from cosmospark import multimodal as mm
+
+    v = spark.createDataFrame(mm.gen_video(_N_VIDEO), schema=mm.VIDEO_SCHEMA)
+    return (
+        mm.video_frame_sample(v, every=_FRAME_EVERY)
+        .select("video_id", "frame_idx", "first_px")
+        .orderBy("video_id", "frame_idx")
+    )
+
+
+def sql_video_frames() -> str:
+    from cosmospark import multimodal as mm
+
+    vals = ", ".join(f"({r['video_id']}, {r['n_frames']})" for r in mm.gen_video(_N_VIDEO))
+    px = mm.first_px_expr("video_id", "u.f")
+    return f"""
+WITH v(video_id, n_frames) AS (VALUES {vals}),
+frames AS (
+  SELECT video_id, CAST(u.f AS INT) AS frame_idx, {px} AS first_px
+  FROM v, LATERAL (SELECT unnest(range(0, n_frames, {_FRAME_EVERY})) AS f) u)
+SELECT video_id, frame_idx, first_px FROM frames
+ORDER BY video_id, frame_idx
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1815,6 +2045,9 @@ def queries() -> dict:
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "phash_neardup": q_phash_neardup,
+        "audio_features": q_audio_features,
+        "video_frames": q_video_frames,
+        "ann_ivf": q_ann_ivf,
     }
 
 
@@ -1876,4 +2109,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "simhash": sql_simhash(sf_dir),
         "simhash_pairs": sql_simhash_pairs(sf_dir),
         "phash_neardup": sql_phash_neardup(),
+        "audio_features": sql_audio_features(sf_dir),
+        "video_frames": sql_video_frames(),
+        "ann_ivf": sql_ann_ivf(sf_dir),
     }
