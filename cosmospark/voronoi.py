@@ -246,16 +246,15 @@ def compute_additional_places(
 
     # (4)+(5) per-parent voronoi in applyInPandas; zone dim broadcast for
     # the subtraction candidates
+    # ONE collect serves both the subtraction candidates and the parent
+    # geometry lookup (round 1 collected the zone geometry twice)
     sub_rows = [
         r.asDict(recursive=True)
         for r in zones.filter(F.col("rings").isNotNull()).select(
             "id", "zone_type", "parent", "rings"
         ).collect()
     ]
-    parent_geoms = {
-        r["id"]: geom.rows_to_rings(r["rings"])
-        for r in zones.filter(F.col("rings").isNotNull()).select("id", "rings").collect()
-    }
+    parent_geoms = {r["id"]: geom.rows_to_rings(r["rings"]) for r in sub_rows}
     bc_sub = spark.sparkContext.broadcast((sub_rows, parent_geoms))
 
     def _voronoi(key, pdf: pd.DataFrame) -> pd.DataFrame:
