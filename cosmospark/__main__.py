@@ -45,21 +45,35 @@ def cmd_generate(args) -> int:
 
     spark = get_spark(app_name="cosmospark-generate")
     spark.sparkContext.setLogLevel("ERROR")
-    raw = read_zones(spark, args.input, schema=ZONES_RAW_SCHEMA)
     rules = _load_rules(spark, args.rules)
-    places = read_zones(spark, args.places) if args.places else None
     typing_counters: dict = {}
-    out = build_zones(
-        spark,
-        raw,
-        rules,
+    common = dict(
         checkpoint_root=args.checkpoint,
         filter_langs=args.filter_langs.split(",") if args.filter_langs else None,
-        places_raw=places,
-        enable_voronoi=not args.disable_voronoi and places is not None,
         country_code=args.country_code,
         stats=typing_counters,
     )
+    if args.input.endswith((".pbf", ".osm.pbf")):
+        # the reference's native input (src/lib.rs:243-249): distributed
+        # PBF scan → raw-OSM tables → the same pipeline
+        from cosmospark.pbf import build_zones_from_pbf
+
+        out = build_zones_from_pbf(
+            spark, args.input, rules,
+            enable_voronoi=not args.disable_voronoi,
+            **common,
+        )
+    else:
+        raw = read_zones(spark, args.input, schema=ZONES_RAW_SCHEMA)
+        places = read_zones(spark, args.places) if args.places else None
+        out = build_zones(
+            spark,
+            raw,
+            rules,
+            places_raw=places,
+            enable_voronoi=not args.disable_voronoi and places is not None,
+            **common,
+        )
     # drop non-JSON-friendly intermediate columns, keep the Zone surface
     keep = [
         c

@@ -1,0 +1,88 @@
+"""Physical-plan audits: the properties PLANS.md claims, asserted.
+
+* no accidental cartesian products / nested-loop joins anywhere in the
+  driver-contract query registry (the round-1 phash query would fail
+  this sweep);
+* parquet predicate pushdown + column pruning on the scan-heavy query;
+* broadcast-hash joins for dimension joins;
+* the flagship fact job plans with ZERO exchanges.
+"""
+
+import pytest
+
+from cosmospark import queries as Q
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# joins that materially regress at scale if they appear uninvited
+_FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
+
+# queries whose plans are inspected for forbidden join strategies —
+# everything in the registry
+_SWEEP = sorted(Q.queries())
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", _SWEEP)
+def test_no_cartesian_anywhere(spark, name):
+    df = Q.queries()[name](spark, SF_DIR)
+    plan = _plan(df)
+    for bad in _FORBIDDEN:
+        assert bad not in plan, f"{name} plans a {bad}"
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    df = Q.q_pricing_summary(spark, SF_DIR)
+    # optimized plan (pre-AQE) shows the parquet scan attributes
+    plan = df._jdf.queryExecution().toString()
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters:")[1][:200]
+    # column pruning: the scan schema must NOT include unused columns
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_dimension_joins_broadcast(spark):
+    plan = _plan(Q.q_country_maxby(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_flagship_fact_job_zero_exchanges(spark):
+    from pyspark.sql import functions as F
+
+    from cosmospark.assign import encode_and_assign
+    from cosmospark.queries import _lux_typed_zones
+
+    pts = spark.range(1000).select(
+        F.col("id").alias("pid"),
+        F.expr("cast(2.0 + (id * 7919 % 1300) / 100.0 as double)").alias("lon"),
+        F.expr("cast(44.0 + (id * 104729 % 1000) / 100.0 as double)").alias("lat"),
+    )
+    plan = _plan(encode_and_assign(pts, _lux_typed_zones(spark)))
+    assert "Exchange" not in plan  # scan → project → one Arrow pass
+    assert "MapInPandas" in plan
+
+
+def test_rollup_reduces_aggregates_not_fact(spark):
+    # the multires rollup must aggregate the fact table ONCE (at the
+    # finest res); coarser levels reduce the aggregate — so the plan
+    # contains exactly one scan-side aggregation lineage per union leg
+    # over InMemory/cached data, never a second fact scan
+    from pyspark.sql import functions as F
+
+    from cosmospark.assign import encode_points, rollup_cells
+    from cosmospark.queries import _lux_typed_zones, _pts_df
+    from cosmospark.assign import assign_zones
+
+    assigned = assign_zones(encode_points(_pts_df(spark)), _lux_typed_zones(spark))
+    ztype = _lux_typed_zones(spark).select(
+        F.col("id").alias("zone_id"), F.col("zone_type")
+    )
+    roll = rollup_cells(assigned.join(F.broadcast(ztype), "zone_id"))
+    plan = _plan(roll)
+    # the cached finest-level aggregate feeds every leg
+    assert "InMemoryTableScan" in plan
