@@ -5,9 +5,12 @@ entry(spark)  — flagship job on sf0.001: derive deterministic geo points
                 198-zone synthetic Luxembourg world via the broadcast
                 ZoneIndex, and return per-zone-type counts.
 queries()     — one entry per implemented operator (SURVEY.md §2 +
-                training-data ops); see cosmospark/queries.py.
-oracle_sql()  — matching DuckDB SQL; omitted for Spark-only ops
-                (minhash/simhash/phash: xxhash64/numpy-codec based).
+                training-data + multimodal ops); see cosmospark/queries.py.
+oracle_sql()  — matching DuckDB SQL for EVERY query (45/45): xxhash64-
+                based ops use the Spark-bit-identical pure-Python XXH64
+                (cosmospark/xxh.py) to materialize signatures the SQL
+                then verifies relationally; fake-codec payloads are
+                re-derived in SQL via HUGEINT LCG arithmetic.
 """
 
 from __future__ import annotations
