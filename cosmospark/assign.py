@@ -573,12 +573,34 @@ def assign_images(
     resolutions: tuple[int, ...] = DEFAULT_RESOLUTIONS,
     tile_z: int = DEFAULT_TILE_Z,
     knn_fallback: bool = True,
+    strategy: str = "broadcast",
+    id_col: str = "image_id",
+    broadcast_budget_bytes: int = BROADCAST_BUDGET_BYTES,
 ) -> DataFrame:
     """The flagship fact job: encode cells/tiles, assign zones, and add
-    the enclosing zone's pyramid tile (zone_tile_id) + zone metadata."""
-    assigned = encode_and_assign(
-        images, zones, resolutions=resolutions, tile_z=tile_z, knn_fallback=knn_fallback
-    )
+    the enclosing zone's pyramid tile (zone_tile_id) + zone metadata.
+
+    ``strategy='auto'`` applies the same broadcast-size guard as
+    assign_zones: above budget, the fused single-pass plan splits into
+    encode_points + the partitioned cell-cogroup assignment (two narrow
+    passes + one shuffle instead of shipping multi-GB geometry to every
+    executor)."""
+    if strategy == "auto":
+        strategy = (
+            "broadcast"
+            if estimate_zone_geom_bytes(zones) <= broadcast_budget_bytes
+            else "partitioned"
+        )
+    if strategy == "partitioned":
+        enc = encode_points(images, resolutions=resolutions, tile_z=tile_z)
+        assigned = assign_zones_partitioned(
+            enc, zones, knn_fallback=knn_fallback, id_col=id_col
+        )
+    else:
+        assigned = encode_and_assign(
+            images, zones, resolutions=resolutions, tile_z=tile_z,
+            knn_fallback=knn_fallback,
+        )
 
     zmeta = zones.select(
         F.col("id").alias("zone_id"),

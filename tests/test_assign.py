@@ -211,3 +211,27 @@ class TestSparkJobs:
         df = spark.range(1000).withColumn("k", F.pmod(F.col("id"), F.lit(3)))
         got = {r["k"]: r["n"] for r in salted_count(df, ["k"], n_salt=8).collect()}
         assert got == {0: 334, 1: 333, 2: 333}
+
+
+class TestAssignImagesAutoStrategy:
+    def test_partitioned_flagship_matches_broadcast(self, spark, lux_zones):
+        imgs = spark.createDataFrame(gen_images(200, seed=7), schema=IMAGES_SCHEMA)
+        base = {
+            r["image_id"]: (r["zone_id"], r["zone_tile_id"], r["cell_r9"])
+            for r in assign_images(imgs, lux_zones).collect()
+        }
+        part = {
+            r["image_id"]: (r["zone_id"], r["zone_tile_id"], r["cell_r9"])
+            for r in assign_images(
+                imgs, lux_zones, strategy="partitioned"
+            ).collect()
+        }
+        assert part == base
+        # auto with a tiny budget routes to partitioned, same output
+        auto = {
+            r["image_id"]: (r["zone_id"], r["zone_tile_id"], r["cell_r9"])
+            for r in assign_images(
+                imgs, lux_zones, strategy="auto", broadcast_budget_bytes=1
+            ).collect()
+        }
+        assert auto == base
