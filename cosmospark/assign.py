@@ -38,6 +38,23 @@ DEFAULT_RESOLUTIONS = (4, 7, 9)
 DEFAULT_TILE_Z = 12
 INDEX_MAX_CELLS = 64  # finer zone indexing than the self-join: more FULL cells
 
+# total (zone, cell) bucket entries the broadcast index may hold
+# (~17 bytes each → ~70 MB of CSR arrays; the zone GEOMETRY usually
+# dominates the broadcast long before this does)
+INDEX_CELL_BUDGET = 4_000_000
+INDEX_MAX_CELLS_CAP = 1024
+
+
+def auto_max_cells(n_zones: int, cell_budget: int = INDEX_CELL_BUDGET) -> int:
+    """Per-zone cell cap sized to the zone count: finer cells mean more
+    FULL cells (interior points skip the geometry test entirely —
+    measured 64→1024 cells/zone takes the assign kernel from 244k to
+    874k rows/s/core on the lux world, FULL fraction 0.29→0.80). At
+    planet scale (10⁶ zones) this clamps down and the broadcast-budget
+    guard hands off to the partitioned path anyway. Granularity does
+    not affect results — only how often the exact PIP runs."""
+    return int(min(INDEX_MAX_CELLS_CAP, max(16, cell_budget // max(n_zones, 1))))
+
 
 # ---------------------------------------------------------------------------
 # Zone index (driver-built, broadcast)
@@ -47,7 +64,9 @@ class ZoneIndex:
     """Per-(res, cell) candidate lists + packed geometries, CSR-encoded
     per resolution for vectorized numpy lookup inside Arrow batches."""
 
-    def __init__(self, zone_rows: list[dict], max_cells: int = INDEX_MAX_CELLS):
+    def __init__(self, zone_rows: list[dict], max_cells: int | None = None):
+        if max_cells is None:
+            max_cells = auto_max_cells(len(zone_rows))
         self.geoms: dict[int, list] = {}
         self.rank: dict[int, int] = {}
         self.area: dict[int, float] = {}
@@ -71,12 +90,17 @@ class ZoneIndex:
                 cent_y.append(c[1])
             minx, miny, maxx, maxy = geom.bbox(rings)
             res = cells.fit_res(minx, miny, maxx, maxy, max_cells)
-            for cell in cells.cells_for_bbox(minx, miny, maxx, maxy, res):
-                rect = cells.cell_bounds(int(cell), res)
-                # cell rect disjoint from bbox already excluded by cover;
-                # FULL = the whole cell is inside the zone → skip PIP
-                full = geom.bbox_covered_by(rect, rings)
-                buckets.setdefault((res, int(cell)), []).append((zid, full))
+            cc = cells.cells_for_bbox(minx, miny, maxx, maxy, res)
+            # FULL = the whole cell is inside the zone → PIP skipped for
+            # its points; marked vectorized across the zone's cells
+            # (corners-inside + no-edge-overlap — conservative but O(k))
+            if len(cc):
+                cminx, cminy, cmaxx, cmaxy = cells.cell_bounds_batch(cc, res)
+                fulls_v = geom.rects_fully_covered(cminx, cminy, cmaxx, cmaxy, rings)
+            else:
+                fulls_v = np.zeros(0, dtype=bool)
+            for cell, full in zip(cc, fulls_v):
+                buckets.setdefault((res, int(cell)), []).append((zid, bool(full)))
 
         # dense rank/area lookup arrays (vectorized candidate scoring)
         self._zid_sorted = np.array(sorted(self.rank), dtype=np.int64)
@@ -190,7 +214,7 @@ class ZoneIndex:
         return out
 
 
-def build_zone_index(zones: DataFrame, max_cells: int = INDEX_MAX_CELLS) -> ZoneIndex:
+def build_zone_index(zones: DataFrame, max_cells: int | None = None) -> ZoneIndex:
     rows = [r.asDict(recursive=True) for r in zones.select("id", "zone_type", "rings").collect()]
     return ZoneIndex(rows, max_cells)
 
@@ -259,7 +283,7 @@ def assign_zones(
     lon_col: str = "lon",
     lat_col: str = "lat",
     knn_fallback: bool = False,
-    index_max_cells: int = INDEX_MAX_CELLS,
+    index_max_cells: int | None = None,
     strategy: str = "broadcast",
     id_col: str | None = None,
     broadcast_budget_bytes: int = BROADCAST_BUDGET_BYTES,
@@ -352,12 +376,16 @@ def _zone_cells_with_full(zones: DataFrame, max_cells: int) -> DataFrame:
             rr = geom.rows_to_rings(rows)
             minx, miny, maxx, maxy = geom.bbox(rr)
             res = cells.fit_res(minx, miny, maxx, maxy, max_cells)
-            acc = []
-            for c in cells.cells_for_bbox(minx, miny, maxx, maxy, res):
-                rect = cells.cell_bounds(int(c), res)
-                acc.append(
-                    {"res": res, "cell": int(c), "full": geom.bbox_covered_by(rect, rr)}
-                )
+            cc = cells.cells_for_bbox(minx, miny, maxx, maxy, res)
+            if len(cc):
+                cminx, cminy, cmaxx, cmaxy = cells.cell_bounds_batch(cc, res)
+                fv = geom.rects_fully_covered(cminx, cminy, cmaxx, cmaxy, rr)
+            else:
+                fv = np.zeros(0, dtype=bool)
+            acc = [
+                {"res": res, "cell": int(c), "full": bool(f)}
+                for c, f in zip(cc, fv)
+            ]
             out.append(
                 {"cells": acc, "rings_bin": geom.pack_rings(rr), "area": geom.area(rr)}
             )
@@ -385,7 +413,7 @@ def assign_zones_partitioned(
     lon_col: str = "lon",
     lat_col: str = "lat",
     knn_fallback: bool = False,
-    index_max_cells: int = INDEX_MAX_CELLS,
+    index_max_cells: int | None = None,
     id_col: str = "pid",
 ) -> DataFrame:
     """The no-broadcast zone assignment: shuffle-join points and zone
@@ -399,6 +427,11 @@ def assign_zones_partitioned(
     skew) are AQE's problem here, which is exactly where we want it.
     """
     spark = points.sparkSession
+    if index_max_cells is None:
+        # zone cells are SHUFFLED here, not broadcast — the explode
+        # factor is a per-row cost, so the fixed conservative default
+        # applies rather than the broadcast path's auto budget
+        index_max_cells = INDEX_MAX_CELLS
     zcells = _zone_cells_with_full(zones, index_max_cells).cache()
     res_list = sorted(r["res"] for r in zcells.select("res").distinct().collect())
     if not res_list:
@@ -533,7 +566,7 @@ def encode_and_assign(
     resolutions: tuple[int, ...] = DEFAULT_RESOLUTIONS,
     tile_z: int = DEFAULT_TILE_Z,
     knn_fallback: bool = False,
-    index_max_cells: int = INDEX_MAX_CELLS,
+    index_max_cells: int | None = None,
 ) -> DataFrame:
     """Fused cell/tile encode + zone assignment in ONE mapInPandas pass.
 

@@ -79,6 +79,19 @@ def cell_bounds(cell: int, res: int) -> tuple[float, float, float, float]:
     return minx, miny, minx + w, miny + h
 
 
+def cell_bounds_batch(cell: np.ndarray, res: int) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(minx, miny, maxx, maxy) arrays for a batch of cells — ONE Morton
+    decode over the whole array (the per-cell scalar ``cell_bounds`` in
+    a Python loop dominates index-build time at 1000 cells/zone)."""
+    x, y = morton_deinterleave(np.asarray(cell, dtype=np.int64), res)
+    n = float(1 << res)
+    w = 360.0 / n
+    h = 180.0 / n
+    minx = -180.0 + x.astype(np.float64) * w
+    miny = -90.0 + y.astype(np.float64) * h
+    return minx, miny, minx + w, miny + h
+
+
 def cells_for_bbox(minx: float, miny: float, maxx: float, maxy: float, res: int) -> np.ndarray:
     """All res-``res`` cells whose rectangle intersects the bbox."""
     x0, y0 = _grid_xy(np.array([minx]), np.array([miny]), res)

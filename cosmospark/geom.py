@@ -298,6 +298,75 @@ def bbox_covered_by(rect, rings: list[Ring]) -> bool:
     return covers(rings, make_rect(minx, miny, maxx, maxy))
 
 
+def rects_fully_covered(
+    minx: np.ndarray, miny: np.ndarray, maxx: np.ndarray, maxy: np.ndarray,
+    rings: list[Ring],
+) -> np.ndarray:
+    """Vectorized FULL-cell marking: rect i is marked covered iff all 4
+    corners are strictly inside the multipolygon AND no ring edge's bbox
+    overlaps the rect. Sound: if no boundary edge touches the rect, the
+    rect lies entirely on one side of the boundary, and inside corners
+    pin that side. Conservative vs exact ``covers`` (an edge bbox can
+    overlap without the edge entering the rect — such cells just keep
+    paying the exact PIP), which is what makes it O(cells) instead of
+    O(cells × covers()): index build at 1024 cells/zone needs this.
+    Holes are handled for free — a rect containing (or inside) a hole
+    either has outside corners or overlaps the hole ring's edges."""
+    minx = np.asarray(minx, dtype=np.float64)
+    miny = np.asarray(miny, dtype=np.float64)
+    maxx = np.asarray(maxx, dtype=np.float64)
+    maxy = np.asarray(maxy, dtype=np.float64)
+    k = len(minx)
+    if k == 0:
+        return np.zeros(0, dtype=bool)
+    edge_hit = np.zeros(k, dtype=bool)
+    for _, _, xs, ys in rings:
+        x1, y1, x2, y2 = _ring_edges(xs, ys)
+        eminx = np.minimum(x1, x2)
+        emaxx = np.maximum(x1, x2)
+        eminy = np.minimum(y1, y2)
+        emaxy = np.maximum(y1, y2)
+        dx = (x2 - x1)[None, :]
+        dy = (y2 - y1)[None, :]
+        e = len(x1)
+        step = max(64, _TILE_ELEMS // max(4 * e, 1))
+        for s in range(0, k, step):
+            bb = (
+                (eminx[None, :] <= maxx[s : s + step, None])
+                & (emaxx[None, :] >= minx[s : s + step, None])
+                & (eminy[None, :] <= maxy[s : s + step, None])
+                & (emaxy[None, :] >= miny[s : s + step, None])
+            )
+            # bbox overlap alone is too blunt for long diagonal edges
+            # (one hypotenuse's bbox can cover the whole polygon);
+            # refine: the edge's LINE must also separate the rect's
+            # corners — all 4 on one strict side ⟹ the segment misses
+            # the rect
+            cminx = minx[s : s + step, None]
+            cmaxx = maxx[s : s + step, None]
+            cminy = miny[s : s + step, None]
+            cmaxy = maxy[s : s + step, None]
+            ex = x1[None, :]
+            ey = y1[None, :]
+            d1 = dx * (cminy - ey) - dy * (cminx - ex)
+            d2 = dx * (cminy - ey) - dy * (cmaxx - ex)
+            d3 = dx * (cmaxy - ey) - dy * (cminx - ex)
+            d4 = dx * (cmaxy - ey) - dy * (cmaxx - ex)
+            one_side = ((d1 > EPS) & (d2 > EPS) & (d3 > EPS) & (d4 > EPS)) | (
+                (d1 < -EPS) & (d2 < -EPS) & (d3 < -EPS) & (d4 < -EPS)
+            )
+            edge_hit[s : s + step] |= (bb & ~one_side).any(axis=1)
+    out = np.zeros(k, dtype=bool)
+    clear = np.nonzero(~edge_hit)[0]
+    if len(clear):
+        # no boundary edge touches these rects → the whole rect lies on
+        # one side of the boundary; ONE strictly-interior point decides
+        cx = (minx[clear] + maxx[clear]) / 2.0
+        cy = (miny[clear] + maxy[clear]) / 2.0
+        out[clear] = pip(cx, cy, rings)
+    return out
+
+
 def pack_rings(rings: list[Ring]) -> bytes:
     """Flat binary encoding of a multipolygon: per ring
     int32 poly | int32 ring | int32 n | n×float64 xs | n×float64 ys.

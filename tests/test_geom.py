@@ -184,3 +184,41 @@ class TestScalars:
         rows = geom.rings_to_rows(Z3)
         back = geom.rows_to_rings(rows)
         assert geom.covers(back, Z3) and geom.covers(Z3, back)
+
+
+class TestRectsFullyCovered:
+    """The vectorized FULL-cell marker must be SOUND (every marked rect
+    is exactly covered) — conservativeness (missing some covered rects
+    near edges) is allowed and only costs a PIP later."""
+
+    def _check(self, rings, n=400, span=12.0):
+        rng = np.random.default_rng(17)
+        a = rng.uniform(-1, span, n)
+        b = rng.uniform(-1, span, n)
+        w = rng.uniform(0.05, 2.0, n)
+        h = rng.uniform(0.05, 2.0, n)
+        fast = geom.rects_fully_covered(a, b, a + w, b + h, rings)
+        for i in np.nonzero(fast)[0]:
+            assert geom.bbox_covered_by((a[i], b[i], a[i] + w[i], b[i] + h[i]), rings)
+        return fast
+
+    def test_sound_on_square(self):
+        fast = self._check(Z0)
+        assert fast.sum() > 0  # and it actually marks interior rects
+
+    def test_sound_on_donut(self):
+        donut = [
+            (0, 0, np.array([0.0, 0, 10, 10]), np.array([0.0, 10, 10, 0])),
+            (0, 1, np.array([4.0, 4, 6, 6]), np.array([4.0, 6, 6, 4])),
+        ]
+        fast = self._check(donut)
+        assert fast.sum() > 0
+        # a rect strictly inside the hole is never marked
+        assert not geom.rects_fully_covered(
+            np.array([4.6]), np.array([4.6]), np.array([5.4]), np.array([5.4]), donut
+        )[0]
+
+    def test_sound_on_triangle(self):
+        tri = [(0, 0, np.array([0.0, 12.0, 0.0]), np.array([0.0, 0.0, 12.0]))]
+        fast = self._check(tri)
+        assert fast.sum() > 0
