@@ -43,7 +43,10 @@ def cmd_generate(args) -> int:
     from cosmospark.stats import compute_stats
     from cosmospark.ztypes import ZONES_RAW_SCHEMA
 
-    spark = get_spark(app_name="cosmospark-generate")
+    spark = get_spark(
+        app_name="cosmospark-generate",
+        master=f"local[{args.num_threads}]" if args.num_threads else None,
+    )
     spark.sparkContext.setLogLevel("ERROR")
     rules = _load_rules(spark, args.rules)
     typing_counters: dict = {}
@@ -134,6 +137,13 @@ def main(argv: list[str] | None = None) -> int:
         "boundary; reference src/bin/cosmogony.rs:58-62)",
     )
     g.add_argument("--checkpoint", default=None, help="stage checkpoint dir (resume support)")
+    g.add_argument(
+        "--num-threads",
+        type=int,
+        default=None,
+        help="local parallelism (the reference's rayon pool knob, "
+        "src/bin/cosmogony.rs:77-84; on a cluster use spark-submit conf)",
+    )
     g.set_defaults(fn=cmd_generate)
 
     m = sub.add_parser("merge", help="concat shards with dense-id re-offsetting")

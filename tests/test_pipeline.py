@@ -152,3 +152,42 @@ class TestCenterFallback:
         got = {r["id"]: r["center"] for r in with_bbox_and_area(df).collect()}
         assert (got[0]["lon"], got[0]["lat"]) == (1.0, 1.0)
         assert (got[1]["lon"], got[1]["lat"]) == (2.0, 1.0)
+
+
+class TestCheckpointFingerprint:
+    def test_stale_snapshot_invalidated(self, spark, tmp_path):
+        from cosmospark import checkpoint as ckpt
+
+        root = str(tmp_path / "stages")
+        calls = []
+
+        def mk(v):
+            def fn():
+                calls.append(v)
+                return spark.range(v).selectExpr("id", f"{v} as tag")
+            return fn
+
+        # first run computes and commits with fingerprint "A"
+        df1 = ckpt.run_stage_fp(spark, root, "s1", "A", mk(3))
+        assert df1.count() == 3 and calls == [3]
+        # same fingerprint → snapshot reused, fn NOT called
+        df2 = ckpt.run_stage_fp(spark, root, "s1", "A", mk(4))
+        assert df2.count() == 3 and calls == [3]
+        # changed fingerprint (inputs/flags changed) → recompute
+        df3 = ckpt.run_stage_fp(spark, root, "s1", "B", mk(5))
+        assert df3.count() == 5 and calls == [3, 5]
+        m = ckpt.read_manifest(root, "s1")
+        assert m["fingerprint"] == "B" and m["n_rows"] == 5
+
+    def test_commit_keeps_old_snapshot_aside_until_done(self, spark, tmp_path):
+        import os
+
+        from cosmospark import checkpoint as ckpt
+
+        root = str(tmp_path / "stages2")
+        ckpt.write_stage(spark.range(2), root, "s", fingerprint="x")
+        # recommit over it: no window with ZERO committed snapshots —
+        # after commit the new one is in place and ._old is cleaned
+        ckpt.write_stage(spark.range(7), root, "s", fingerprint="y")
+        assert ckpt.read_manifest(root, "s")["n_rows"] == 7
+        assert not os.path.exists(os.path.join(root, "s._old"))

@@ -1,0 +1,141 @@
+"""Property-based tests (hypothesis) for the pure-numpy kernels and
+codecs — the layers everything else stands on."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from cosmospark import cells, geom
+from cosmospark.xxh import Long, xxhash64
+
+coord = st.floats(min_value=-170.0, max_value=170.0, allow_nan=False, width=64)
+lat_c = st.floats(min_value=-80.0, max_value=80.0, allow_nan=False, width=64)
+
+
+@st.composite
+def rects(draw):
+    x0 = draw(coord)
+    y0 = draw(lat_c)
+    w = draw(st.floats(min_value=0.01, max_value=20.0))
+    h = draw(st.floats(min_value=0.01, max_value=20.0))
+    return (x0, y0, x0 + w, y0 + h)
+
+
+class TestCellsProperties:
+    @given(
+        st.lists(coord, min_size=1, max_size=50),
+        st.lists(lat_c, min_size=1, max_size=50),
+        st.integers(min_value=2, max_value=20),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_prefix_property(self, lons, lats, res):
+        # res-r cell is ALWAYS the 2-bit-truncated prefix of the res-(r+1)
+        # cell — the invariant the hierarchical rollup rides on
+        n = min(len(lons), len(lats))
+        lon = np.array(lons[:n])
+        lat = np.array(lats[:n])
+        fine = cells.cell_encode(lon, lat, res + 1)
+        coarse = cells.cell_encode(lon, lat, res)
+        assert (fine >> 2 == coarse).all()
+
+    @given(rects(), st.integers(min_value=2, max_value=14))
+    @settings(max_examples=60, deadline=None)
+    def test_cells_for_bbox_covers_bbox_points(self, rect, res):
+        minx, miny, maxx, maxy = rect
+        cc = set(int(c) for c in cells.cells_for_bbox(minx, miny, maxx, maxy, res))
+        # any point of the bbox encodes to one of the covering cells
+        rng = np.random.default_rng(1)
+        px = rng.uniform(minx, maxx, 20)
+        py = rng.uniform(miny, maxy, 20)
+        enc = cells.cell_encode(px, py, res)
+        assert all(int(c) in cc for c in enc)
+
+    @given(rects(), st.integers(min_value=4, max_value=1024))
+    @settings(max_examples=60, deadline=None)
+    def test_fit_res_respects_budget(self, rect, max_cells):
+        minx, miny, maxx, maxy = rect
+        res = cells.fit_res(minx, miny, maxx, maxy, max_cells)
+        assert len(cells.cells_for_bbox(minx, miny, maxx, maxy, res)) <= max_cells
+
+    @given(rects())
+    @settings(max_examples=40, deadline=None)
+    def test_cell_bounds_batch_matches_scalar(self, rect):
+        cc = cells.cells_for_bbox(*rect, 9)
+        bminx, bminy, bmaxx, bmaxy = cells.cell_bounds_batch(cc, 9)
+        for i, c in enumerate(cc[:8]):
+            sx0, sy0, sx1, sy1 = cells.cell_bounds(int(c), 9)
+            assert (sx0, sy0, sx1, sy1) == (bminx[i], bminy[i], bmaxx[i], bmaxy[i])
+
+
+class TestGeomProperties:
+    @given(rects(), rects())
+    @settings(max_examples=80, deadline=None)
+    def test_rect_covers_iff_bbox_contains(self, ra, rb):
+        # for axis-aligned rectangles, covers == bbox containment
+        a = geom.make_rect(*ra)
+        b = geom.make_rect(*rb)
+        expect = (
+            ra[0] <= rb[0] and ra[1] <= rb[1] and ra[2] >= rb[2] and ra[3] >= rb[3]
+        )
+        assert geom.covers(a, b) == expect
+
+    @given(rects())
+    @settings(max_examples=40, deadline=None)
+    def test_pack_unpack_round_trip(self, rect):
+        rings = geom.make_rect(*rect) + [
+            (0, 1, np.array([1.0, 1.5, 1.5]), np.array([1.0, 1.0, 1.5]))
+        ]
+        back = geom.unpack_rings(geom.pack_rings(rings))
+        assert len(back) == len(rings)
+        for (p, r, xs, ys), (p2, r2, xs2, ys2) in zip(rings, back):
+            assert (p, r) == (p2, r2)
+            assert np.array_equal(np.asarray(xs, float), xs2)
+            assert np.array_equal(np.asarray(ys, float), ys2)
+
+    @given(rects(), st.integers(min_value=0, max_value=2**31 - 1))
+    @settings(max_examples=60, deadline=None)
+    def test_pip_matches_rect_predicate(self, rect, seed):
+        minx, miny, maxx, maxy = rect
+        rng = np.random.default_rng(seed)
+        px = rng.uniform(minx - 1, maxx + 1, 50)
+        py = rng.uniform(miny - 1, maxy + 1, 50)
+        got = geom.pip(px, py, geom.make_rect(*rect))
+        exp = (px > minx) & (px < maxx) & (py > miny) & (py < maxy)
+        margin = (
+            (np.abs(px - minx) > 1e-9) & (np.abs(px - maxx) > 1e-9)
+            & (np.abs(py - miny) > 1e-9) & (np.abs(py - maxy) > 1e-9)
+        )
+        assert (got[margin] == exp[margin]).all()
+
+
+class TestXxhProperties:
+    @given(st.text(max_size=200))
+    @settings(max_examples=100, deadline=None)
+    def test_string_hash_total_and_stable(self, s):
+        h1 = xxhash64(s)
+        h2 = xxhash64(s)
+        assert h1 == h2
+        assert -(2**63) <= h1 < 2**63
+
+    @given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+    @settings(max_examples=100, deadline=None)
+    def test_long_hash_total(self, v):
+        h = xxhash64(Long(v))
+        assert -(2**63) <= h < 2**63
+
+
+class TestClipProperties:
+    @given(rects(), rects())
+    @settings(max_examples=40, deadline=None)
+    def test_difference_area_bounds(self, ra, rb):
+        from cosmospark import clip
+
+        a = geom.make_rect(*ra)
+        b = geom.make_rect(*rb)
+        out = clip.subtract_polygon(a, b)
+        area_a = geom.area(a)
+        area_out = geom.area(out) if out else 0.0
+        # 0 ≤ area(A \ B) ≤ area(A), and equals area(A) - area(A ∩ B)
+        ix0, iy0 = max(ra[0], rb[0]), max(ra[1], rb[1])
+        ix1, iy1 = min(ra[2], rb[2]), min(ra[3], rb[3])
+        inter = max(0.0, ix1 - ix0) * max(0.0, iy1 - iy0)
+        assert abs(area_out - (area_a - inter)) <= 1e-6 * max(1.0, area_a)
