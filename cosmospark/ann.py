@@ -1,0 +1,104 @@
+"""IVF-partitioned vector store: the physical layout behind the
+q_ann_ivf scale claim.
+
+At 10⁹+ vectors, approximate nearest-neighbor search is a STORAGE-layout
+problem as much as a compute one: vectors are written partitioned by
+their coarse-centroid list (`list_id=<k>/` hive layout), so a query that
+probes P of K lists reads P/K of the table — Catalyst prunes the rest at
+planning time, exactly like the cell-prefix layout of
+cosmospark.assign.write_assignments does for spatial reads.
+
+All arithmetic uses the sequential-fold SQL expressions shared with the
+query/oracle layer (cosmospark.queries), so the stored assignment and
+any oracle recomputation agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def assign_lists(embeddings: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """+ list_id (1-based): nearest coarse centroid by cosine, first max
+    on ties (array_position semantics — deterministic across engines)."""
+    from cosmospark.queries import _ivf_scores_expr
+
+    scores = _ivf_scores_expr("embedding", centroids, "spark")
+    return embeddings.withColumn(
+        "list_id", F.expr(f"array_position({scores}, array_max({scores}))").cast("int")
+    )
+
+
+def write_ivf(
+    embeddings: DataFrame, path: str, centroids: list[list[float]]
+) -> dict:
+    """Write the vector table hive-partitioned by list_id with a manifest
+    carrying the centroids + per-list row counts (the index metadata a
+    reader needs to plan probes without touching data files)."""
+    assign_lists(embeddings, centroids).write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(path)
+    spark = embeddings.sparkSession
+    counts = {
+        int(r["list_id"]): int(r["n"])
+        for r in spark.read.parquet(path)
+        .groupBy("list_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    manifest = {
+        "n_lists": len(centroids),
+        "centroids": centroids,
+        "list_rows": counts,
+        "n_rows": sum(counts.values()),
+    }
+    with open(os.path.join(path, "_IVF_MANIFEST.json"), "w") as fh:
+        json.dump(manifest, fh)
+    return manifest
+
+
+def probe_lists(qvec: list[float], centroids: list[list[float]], n_probes: int) -> list[int]:
+    """1-based ids of the n_probes centroids nearest the query (cosine,
+    ties by centroid order) — driver-side, identical arithmetic to the
+    query layer."""
+    q = np.asarray(qvec, dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum()))
+    sims = []
+    for j, c in enumerate(centroids):
+        acc = 0.0
+        for x, y in zip(qvec, c):
+            acc += x * y
+        cn = float(np.sqrt(np.sum(np.asarray(c, dtype=np.float64) ** 2)))
+        sims.append(acc / (qn * cn))
+    order = sorted(range(len(centroids)), key=lambda j: (-sims[j], j))
+    return [j + 1 for j in order[:n_probes]]
+
+
+def search_ivf(
+    spark: SparkSession,
+    path: str,
+    qvec: list[float],
+    k: int = 10,
+    n_probes: int = 2,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """Top-k cosine neighbors of ``qvec`` scanning ONLY the probed list
+    partitions (verify with .explain: PartitionFilters prune the rest)."""
+    with open(os.path.join(path, "_IVF_MANIFEST.json")) as fh:
+        manifest = json.load(fh)
+    probes = probe_lists(qvec, manifest["centroids"], n_probes)
+    qn = float(np.sqrt(np.sum(np.asarray(qvec, dtype=np.float64) ** 2)))
+    qlit = "array(" + ", ".join(repr(float(v)) + "D" for v in qvec) + ")"
+    dot = f"aggregate(zip_with(embedding, {qlit}, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+    nrm = "sqrt(aggregate(embedding, 0D, (a, x) -> a + x * x))"
+    df = spark.read.parquet(path).filter(F.col("list_id").isin(probes))
+    if exclude_vec_id is not None:
+        df = df.filter(F.col("vec_id") != exclude_vec_id)
+    scored = df.select(
+        "vec_id", "list_id", F.expr(f"round({dot} / ({nrm} * {qn!r}), 6)").alias("cos_sim")
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(k)
