@@ -724,6 +724,70 @@ def salted_count(df: DataFrame, keys: list[str], n_salt: int = 16, salt_col: str
     return partial.groupBy(*keys).agg(F.sum("_c").alias("n"))
 
 
+def adaptive_salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    agg_exprs: dict[str, str],
+    hot_threshold_rows: int = 1_000_000,
+    max_salt: int = 256,
+    sample_fraction: float = 0.01,
+) -> DataFrame:
+    """Skew-adaptive two-phase aggregation: a cheap sampled first pass
+    estimates per-key row counts; only keys above ``hot_threshold_rows``
+    get salted, with a per-key salt factor proportional to their share
+    (the SURVEY §4 'per-cell n_salt from a first-pass count histogram').
+    Cold keys aggregate directly — no blanket salting overhead.
+
+    ``agg_exprs`` maps output column → SQL aggregate over the PARTIAL
+    results, where the partial pass pre-aggregates ``cnt`` (rows) and
+    every referenced input column must be sum-decomposable (count/sum —
+    the decomposable aggregates skew actually threatens; min/max don't
+    need salting at all).
+
+    Example::
+
+        adaptive_salted_agg(fact, ["zone_id"], {"n": "sum(cnt)"})
+    """
+    spark = df.sparkSession
+    est = (
+        df.sample(fraction=sample_fraction, seed=7)
+        .groupBy(*keys)
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") * (1.0 / sample_fraction) > hot_threshold_rows)
+        .collect()
+    )
+    hot = {
+        tuple(r[k] for k in keys): int(
+            min(max_salt, max(2, r["c"] / sample_fraction / hot_threshold_rows + 1))
+        )
+        for r in est
+    }
+    if hot:
+        # broadcast map of hot keys → salt factor (tiny by construction:
+        # only keys carrying ≥ hot_threshold_rows rows can be in it)
+        items = [(list(k), v) for k, v in hot.items()]
+        hot_df = spark.createDataFrame(
+            [(k + [v]) for k, v in items],
+            ", ".join(f"_hk{i} string" for i in range(len(keys))) + ", _nsalt int",
+        )
+        cond = None
+        for i, k in enumerate(keys):
+            c = F.col(k).cast("string") == F.col(f"_hk{i}")
+            cond = c if cond is None else cond & c
+        salted = df.join(F.broadcast(hot_df), cond, "left").withColumn(
+            "_salt",
+            F.when(
+                F.col("_nsalt").isNotNull(),
+                F.pmod(F.xxhash64(*keys, F.monotonically_increasing_id()), F.col("_nsalt")),
+            ).otherwise(F.lit(0)),
+        )
+    else:
+        salted = df.withColumn("_salt", F.lit(0))
+    partial = salted.groupBy(*keys, "_salt").agg(F.count("*").alias("cnt"))
+    final_aggs = [F.expr(sql).alias(name) for name, sql in agg_exprs.items()]
+    return partial.groupBy(*keys).agg(*final_aggs)
+
+
 def rollup_cells(assigned: DataFrame, resolutions: tuple[int, ...] = DEFAULT_RESOLUTIONS) -> DataFrame:
     """Hierarchical (cell, zone_type) rollup rebuilding the ZonesTree
     counts: aggregate ONCE at the finest resolution, then derive each

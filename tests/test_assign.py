@@ -235,3 +235,42 @@ class TestAssignImagesAutoStrategy:
             ).collect()
         }
         assert auto == base
+
+
+class TestAdaptiveSaltedAgg:
+    def test_counts_match_plain_groupby(self, spark):
+        from cosmospark.assign import adaptive_salted_agg
+
+        # heavy skew: 80% of 60k rows on one key
+        df = spark.range(60_000).select(
+            F.when(F.col("id") % 10 < 8, F.lit("hot"))
+            .otherwise(F.concat(F.lit("k"), F.pmod("id", F.lit(7))))
+            .alias("k")
+        )
+        got = {
+            r["k"]: r["n"]
+            for r in adaptive_salted_agg(
+                df, ["k"], {"n": "cast(sum(cnt) as bigint)"},
+                hot_threshold_rows=5_000, sample_fraction=0.1,
+            ).collect()
+        }
+        exp = {
+            r["k"]: r["n"]
+            for r in df.groupBy("k").agg(F.count("*").alias("n")).collect()
+        }
+        assert got == exp
+        # the hot key really was salted: partial pass fanned it out
+        # (indirectly: results equal is the contract; fan-out is plan-level)
+
+    def test_no_hot_keys_degenerates_to_plain(self, spark):
+        from cosmospark.assign import adaptive_salted_agg
+
+        df = spark.range(1000).select(F.pmod("id", F.lit(10)).alias("k"))
+        got = {
+            r["k"]: r["n"]
+            for r in adaptive_salted_agg(
+                df, ["k"], {"n": "cast(sum(cnt) as bigint)"},
+                hot_threshold_rows=10_000_000,
+            ).collect()
+        }
+        assert got == {i: 100 for i in range(10)}
