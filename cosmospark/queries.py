@@ -1048,6 +1048,35 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_doc_rolling_hash(spark, sf_dir):
+    """Document fingerprinting, ORDER-SENSITIVE variant: polynomial
+    rolling hash over the word sequence (acc·B + wordcode mod P) — the
+    complement of q_doc_fingerprint's order-independent bag hash
+    (a reordered near-dup keeps the bag hash but changes this one).
+    Sequential fold → bit-identical across engines."""
+    d = _t(spark, sf_dir, "documents")
+    # wordcode = length*31 + first char code (same code as the bag hash)
+    fp = (
+        "aggregate(split(text, ' '), 7L, (acc, w) -> "
+        "(acc * 131 + length(w) * 31 + coalesce(ascii(substring(w, 1, 1)), 0))"
+        " % 1000000007)"
+    )
+    return d.select("doc_id", F.expr(fp).alias("rolling_fp")).orderBy("doc_id")
+
+
+SQL_ROLLING = """
+WITH f AS (
+  SELECT doc_id,
+         list_prepend(7::BIGINT,
+           list_transform(string_split(text, ' '),
+             w -> CAST(length(w) * 31 + COALESCE(ascii(substring(w, 1, 1)), 0) AS BIGINT))) AS codes
+  FROM documents)
+SELECT doc_id,
+       CAST(list_reduce(codes, (acc, x) -> (acc * 131 + x) % 1000000007) AS BIGINT) AS rolling_fp
+FROM f ORDER BY doc_id
+"""
+
+
 def q_ann_brute_force(spark, sf_dir):
     """Similarity search baseline: exact top-10 cosine neighbors of
     vec_id 0, computed with sequential fold both sides (bit-identical)."""
@@ -2030,6 +2059,7 @@ def queries() -> dict:
         "quality_score": q_quality_score,
         "ngram_jaccard": q_ngram_jaccard,
         "doc_fingerprint": q_doc_fingerprint,
+        "doc_rolling_hash": q_doc_rolling_hash,
         "ann_brute_force": q_ann_brute_force,
         "embedding_stats": q_embedding_stats,
         # Spark-only (rows-only checks)
@@ -2103,6 +2133,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "quality_score": sql_quality_score(),
         "ngram_jaccard": SQL_JACCARD,
         "doc_fingerprint": SQL_FINGERPRINT,
+        "doc_rolling_hash": SQL_ROLLING,
         "ann_brute_force": sql_ann_brute_force(qvec),
         "embedding_stats": SQL_EMB_STATS,
         "minhash_lsh_pairs": sql_minhash_lsh_pairs(sf_dir),
