@@ -688,14 +688,22 @@ def write_assignments(assigned: DataFrame, path: str, prefix_res: int = 4) -> di
         .partitionBy("cell_prefix")
         .parquet(path)
     )
-    spark = assigned.sparkSession
-    counts = {
-        str(r["cell_prefix"]): r["n"]
-        for r in spark.read.parquet(path)
-        .groupBy("cell_prefix")
-        .agg(F.count("*").alias("n"))
-        .collect()
-    }
+    # per-partition row counts from the parquet FOOTERS (metadata-only,
+    # same trick as checkpoint._collect_file_stats) — round 2 re-scanned
+    # the whole written fact table just to count, a second full pass over
+    # 10^12-scale rows for a manifest
+    from cosmospark.checkpoint import _collect_file_stats
+
+    counts: dict[str, int] = {}
+    for entry in sorted(_os.listdir(path)):
+        if not entry.startswith("cell_prefix="):
+            continue
+        pdir = _os.path.join(path, entry)
+        if not _os.path.isdir(pdir):
+            continue
+        counts[entry.split("=", 1)[1]] = sum(
+            f["rows"] for f in _collect_file_stats(pdir)
+        )
     manifest = {
         "prefix_res": prefix_res,
         "n_rows": sum(counts.values()),
@@ -764,8 +772,14 @@ def adaptive_salted_agg(
     }
     if hot:
         # broadcast map of hot keys → salt factor (tiny by construction:
-        # only keys carrying ≥ hot_threshold_rows rows can be in it)
-        items = [(list(k), v) for k, v in hot.items()]
+        # only keys carrying ≥ hot_threshold_rows rows can be in it).
+        # Key values are stringified (None-safe) to match the join's
+        # cast-to-string probe — raw non-string values (the common
+        # zone_id long) would fail createDataFrame's string-schema check
+        # exactly when a hot key exists.
+        items = [
+            ([None if x is None else str(x) for x in k], v) for k, v in hot.items()
+        ]
         hot_df = spark.createDataFrame(
             [(k + [v]) for k, v in items],
             ", ".join(f"_hk{i} string" for i in range(len(keys))) + ", _nsalt int",

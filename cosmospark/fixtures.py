@@ -310,6 +310,15 @@ def lux_osm_world() -> dict[str, list]:
         (LUX_X0, LUX_Y0, LUX_X0 + 2, LUX_Y0 + 2),
         {"boundary": "political", "name": "not admin", "admin_level": "8"},
     )
+    # place=suburb relation WITHOUT boundary=administrative/admin_level:
+    # admitted by the reference's is_admin || place==suburb front door
+    # (src/lib.rs:73) — must be extracted (it stays untyped downstream:
+    # no admin_level → no rule → cleaned by P7, like the reference)
+    add_rect_relation(
+        7100,
+        (LUX_X0 + 0.1, LUX_Y0 + 0.1, LUX_X0 + 0.4, LUX_Y0 + 0.4),
+        {"place": "suburb", "name": "Suburb Relation"},
+    )
 
     # standalone place nodes (S3/S4 input for the voronoi path)
     nodes.append(

@@ -35,6 +35,20 @@ def admin_relations(raw: DataFrame) -> DataFrame:
     )
 
 
+def zone_relations(raw: DataFrame) -> DataFrame:
+    """The reference's full relation admission (src/lib.rs:73): admin
+    relations (S2) ∪ relations tagged ``place=suburb`` — suburb boundary
+    relations carry no boundary=administrative/admin_level but still
+    become zones."""
+    return raw.filter(
+        (
+            (F.col("tags")["boundary"] == "administrative")
+            & F.col("tags")["admin_level"].isNotNull()
+        )
+        | (F.col("tags")["place"] == "suburb")
+    )
+
+
 PLACE_VALUES = ["city", "town", "village", "suburb", "quarter", "neighbourhood"]
 
 
@@ -75,8 +89,9 @@ def extract_zones_from_osm(
     rel_node_members: DataFrame | None = None,
 ) -> DataFrame:
     """P1 over raw OSM tables (src/zone_ext.rs:118-234): admin relations
-    (S2) → zones_raw rows with assembled boundaries and the member-node
-    extraction the reference does per relation:
+    (S2) ∪ place=suburb relations (src/lib.rs:73) → zones_raw rows with
+    assembled boundaries and the member-node extraction the reference
+    does per relation:
 
     * ``name`` from tags — relations without one are skipped (:126-135);
     * ``loc_name`` / ``alt_name`` / ``wikidata`` from tags (:152-162);
@@ -97,7 +112,7 @@ def extract_zones_from_osm(
 
     from cosmospark.assembly import assemble_boundaries, member_nodes
 
-    admin = admin_relations(relations).filter(F.col("tags")["name"].isNotNull())
+    admin = zone_relations(relations).filter(F.col("tags")["name"].isNotNull())
     rings = assemble_boundaries(admin, rel_members, ways, nodes)
     z = admin.join(rings.filter(F.size("rings") > 0), "relation_id")
 

@@ -710,7 +710,8 @@ def sql_geo_osm_extract():
     for rid, tags in w["relations"]:
         rel_rows.append(
             f"({rid}, {s(tags.get('boundary'))}, {s(tags.get('admin_level'))}, "
-            f"{s(tags.get('name'))}, {s(tags.get('name:fr'))}, {s(tags.get('wikidata'))})"
+            f"{s(tags.get('name'))}, {s(tags.get('name:fr'))}, {s(tags.get('wikidata'))}, "
+            f"{s(tags.get('place'))})"
         )
     node_tags = {nid: (lon, lat, tags) for nid, lon, lat, tags in w["nodes"]}
     lab_rows, cen_rows = [], []
@@ -724,12 +725,13 @@ def sql_geo_osm_extract():
         elif role == "admin_centre":
             cen_rows.append(f"({rid}, {lon!r}, {lat!r})")
     return f"""
-WITH rels(rel_id, boundary, lvl, name, name_fr, wikidata) AS (VALUES {", ".join(rel_rows)}),
+WITH rels(rel_id, boundary, lvl, name, name_fr, wikidata, place) AS (VALUES {", ".join(rel_rows)}),
 lab(rel_id, llon, llat, l_name_br, l_name_fr, l_population) AS (VALUES {", ".join(lab_rows)}),
 cen(rel_id, clon, clat) AS (VALUES {", ".join(cen_rows)}),
 adm AS (
   SELECT * FROM rels
-  WHERE boundary = 'administrative' AND lvl IS NOT NULL AND name IS NOT NULL)
+  WHERE ((boundary = 'administrative' AND lvl IS NOT NULL) OR place = 'suburb')
+    AND name IS NOT NULL)
 SELECT 'relation:' || r.rel_id AS osm_id, r.name,
        CAST(r.lvl AS INT) AS admin_level,
        COALESCE(r.name_fr, l.l_name_fr) AS name_fr,
@@ -934,7 +936,22 @@ JACCARD_T = 0.5
 _JACCARD_PF_T = 0.4999
 
 
-def q_ngram_jaccard(spark, sf_dir):
+def _maybe_broadcast(df, est_bytes: int, budget: int | None = None):
+    """Size-guarded broadcast: hint only when the estimated side fits the
+    budget (the ``assign.BROADCAST_BUDGET_BYTES`` pattern). Above budget
+    the hint is dropped and the join falls back to a shuffle join on its
+    (unique, skew-free) key — AQE still upgrades it to broadcast at
+    runtime if the actual relation turns out small. An unconditional
+    ``F.broadcast`` of corpus-linear data is the one-line OOM at 10⁹
+    rows."""
+    from cosmospark.assign import BROADCAST_BUDGET_BYTES
+
+    if budget is None:
+        budget = BROADCAST_BUDGET_BYTES
+    return F.broadcast(df) if est_bytes <= budget else df
+
+
+def q_ngram_jaccard(spark, sf_dir, broadcast_budget_bytes: int | None = None):
     """Near-dup detection: word-set Jaccard over same-source pairs.
 
     Scale-correct candidate generation via **prefix filtering** (the
@@ -948,6 +965,13 @@ def q_ngram_jaccard(spark, sf_dir):
     joined on every token occurrence: one stopword key carried a
     quadratic partition at scale."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    # size estimate for the per-doc token-array side: token bytes are
+    # bounded by text bytes; +64 B/row of array/offset overhead. ONE
+    # cheap two-column aggregate (text length only — no tokenization).
+    est = d.agg(
+        F.sum(F.length("text")).alias("b"), F.count("*").alias("n")
+    ).collect()[0]
+    tok_side_bytes = int(est["b"] or 0) + 64 * int(est["n"])
     toks = d.select(
         "doc_id",
         "source",
@@ -960,7 +984,12 @@ def q_ngram_jaccard(spark, sf_dir):
 
     win = Window.partitionBy("doc_id").orderBy("dfn", "w")
     # cached: the prefix lineage (df join + per-doc window) feeds BOTH
-    # sides of the candidate self-join — uncached it executes twice
+    # sides of the candidate self-join — uncached it executes twice.
+    # dfreq broadcast: VOCABULARY-sized (distinct tokens, ~16 B each),
+    # not corpus-linear — Heaps' law keeps it sublinear in corpus size,
+    # and the df-rank join must stay cheap for prefix filtering to pay.
+    # Documented as broadcast-by-design; gate it too if a corpus with an
+    # unbounded vocabulary (e.g. raw shingle keys) is ever routed here.
     prefix = (
         w.join(F.broadcast(dfreq), "w")
         .withColumn("rn", F.row_number().over(win))
@@ -981,13 +1010,14 @@ def q_ngram_jaccard(spark, sf_dir):
     )
     ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("tka"), F.col("sz").alias("sza"))
     tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tkb"), F.col("sz").alias("szb"))
-    # per-doc token arrays broadcast: the candidate side is quadratic in
-    # the doc count, the array side linear — at cluster scale drop the
-    # hint and this becomes a uniform doc-id shuffle join (no skew: doc
-    # ids are unique keys)
+    # per-doc token arrays are CORPUS-LINEAR: broadcast only under the
+    # size budget (estimated above from text bytes). Over budget this is
+    # a uniform doc-id shuffle join — doc ids are unique keys, no skew —
+    # instead of shipping the whole corpus's token arrays to every
+    # executor (the 10⁹-doc OOM).
     return (
-        cand.join(F.broadcast(ta), "doc_a")
-        .join(F.broadcast(tb), "doc_b")
+        cand.join(_maybe_broadcast(ta, tok_side_bytes, broadcast_budget_bytes), "doc_a")
+        .join(_maybe_broadcast(tb, tok_side_bytes, broadcast_budget_bytes), "doc_b")
         .withColumn("inter", F.size(F.array_intersect("tka", "tkb")))
         .withColumn(
             "jac",
@@ -1614,18 +1644,27 @@ SIMHASH_BANDS = 4  # 4 bands × 4 bits: pigeonhole-exact at hamming ≤ 3
 
 
 def _simhash_fp_col():
-    bits = []
-    for i in range(SIMHASH_BITS):
-        bit = F.expr(
-            f"case when aggregate(split(text, ' '), 0L, "
-            f"(acc, w) -> acc + (case when (xxhash64(w) >> {i}) % 2 = 0 then -1 else 1 end)) > 0 "
-            f"then shiftleft(1L, {i}) else 0L end"
-        )
-        bits.append(bit)
-    fp = bits[0]
-    for b in bits[1:]:
-        fp = fp.bitwiseOR(b)
-    return fp
+    """SINGLE-pass SimHash: hash each word once (``transform``), fold the
+    hash array once into a 16-lane vote vector (``aggregate`` whose
+    accumulator is the array of per-bit vote counts), then assemble the
+    fingerprint in the finish lambda. Round 2 ran 16 separate
+    ``aggregate(split(text), ...)`` folds — 16 full tokenize+hash passes
+    per row (64 at production width); this is one tokenize, one hash per
+    word, one fold."""
+    n = SIMHASH_BITS
+    return F.expr(
+        f"aggregate("
+        f"  transform(split(text, ' '), w -> xxhash64(w)),"
+        f"  array_repeat(0L, {n}),"
+        # vote: bit i of the word hash — (h >> i) % 2 = 0 votes -1 else
+        # +1 (negative h falls to +1 under both % and & conventions,
+        # matching the DuckDB oracle's (h >> i) & 1 test)
+        f"  (acc, h) -> zip_with(acc, sequence(0, {n - 1}),"
+        f"      (a, i) -> a + (case when shiftright(h, i) % 2 = 0 then -1L else 1L end)),"
+        f"  votes -> aggregate(zip_with(votes, sequence(0, {n - 1}),"
+        f"      (v, i) -> case when v > 0 then shiftleft(1L, i) else 0L end),"
+        f"    0L, (a, b) -> a | b))"
+    )
 
 
 def q_simhash(spark, sf_dir):

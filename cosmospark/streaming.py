@@ -98,12 +98,29 @@ def sessionize(
     """Custom stateful operator (applyInPandasWithState): per-user
     sessions closed after ``gap_minutes`` of event-time inactivity.
     Emits one row per CLOSED session (timeout-driven), state = one small
-    tuple per live user — the canonical bounded-state sessionizer."""
-    import datetime as _dt
+    tuple per live user — the canonical bounded-state sessionizer.
 
+    Timezone-correct: Arrow hands the worker pandas timestamps rendered
+    in ``spark.sql.session.timeZone`` (naive), so epoch conversion
+    localizes with the session tz captured at operator-construction time
+    — on a non-UTC session the old astype-int64 path shifted session
+    bounds and the event-time timeout by the tz offset."""
     import pandas as pd
 
+    session_tz = (
+        events.sparkSession.conf.get("spark.sql.session.timeZone") or "UTC"
+    )
+
     gap_us = gap_minutes * 60_000_000
+
+    def _ts_from_us(us: int):
+        # UTC epoch µs → naive wall time in the session tz (what Spark
+        # expects back for TimestampType)
+        return (
+            pd.Timestamp(int(us) * 1000, tz="UTC")
+            .tz_convert(session_tz)
+            .tz_localize(None)
+        )
 
     def _fn(key, pdfs, state):
         user_id = key[0]
@@ -115,8 +132,8 @@ def sessionize(
                     {
                         "user_id": user_id,
                         "n_events": n,
-                        "session_start": _dt.datetime.utcfromtimestamp(start_us / 1e6),
-                        "session_end": _dt.datetime.utcfromtimestamp(end_us / 1e6),
+                        "session_start": _ts_from_us(start_us),
+                        "session_end": _ts_from_us(end_us),
                         "total_cents": cents,
                     }
                 ]
@@ -124,7 +141,10 @@ def sessionize(
             return
         n, start_us, end_us, cents = (state.get if state.exists else (0, None, None, 0))
         for pdf in pdfs:
-            ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
+            ts = pdf["ts"]
+            if ts.dt.tz is None:
+                ts = ts.dt.tz_localize(session_tz)
+            ts_us = (ts.astype("int64") // 1000).to_numpy()
             add_cents = (pdf["value"] * 100).round().astype("int64").to_numpy()
             n += len(ts_us)
             cents += int(add_cents.sum())
@@ -148,6 +168,27 @@ def sessionize(
             outputMode="append",
             timeoutConf="EventTimeTimeout",
         )
+    )
+
+
+def run_to_parquet(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+):
+    """Drive a streaming DataFrame into a parquet sink with a checkpoint
+    location — the production sink shape. The checkpoint (WAL + state
+    store + file-sink manifest) makes restarts exactly-once: a killed
+    query restarted with the same ``checkpoint_dir``/``path`` neither
+    loses nor duplicates rows (the sink's _spark_metadata commits files
+    atomically per batch). Returns the StreamingQuery."""
+    return (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
+        .start()
     )
 
 

@@ -53,8 +53,10 @@ class TestExtract:
         assert "relation:7000" not in ids  # nameless admin relation skipped
         assert "relation:7001" not in ids  # boundary != administrative
         assert "relation:2171347" in ids
-        # 200 lux zones survive (198 typed + 2 level-10)
-        assert extracted.count() == 200
+        # place=suburb relation admitted (src/lib.rs:73 parity)
+        assert "relation:7100" in ids
+        # 201 zones survive (198 typed + 2 level-10 + 1 suburb relation)
+        assert extracted.count() == 201
 
     def test_label_member_tag_merge(self, extracted):
         r = extracted.filter(F.col("osm_id") == "relation:2171347").first()
@@ -89,7 +91,7 @@ class TestExtract:
         rows = extracted.select("id", "osm_id", "loc_name", "alt_name").collect()
         assert {r["loc_name"] for r in rows} == {""}  # fixture has none; default ""
         ids = sorted(r["id"] for r in rows)
-        assert ids == list(range(200))  # dense, 0-based
+        assert ids == list(range(201))  # dense, 0-based
         # dense order = relation_id order (BTreeMap order, src/lib.rs:77)
         by_id = sorted(rows, key=lambda r: r["id"])
         rel_ids = [int(r["osm_id"].split(":")[1]) for r in by_id]
@@ -169,8 +171,9 @@ class TestEndToEnd:
             stats=stats,
         ).count()
         assert stats["zone_without_country"] == 0
-        # the 2 level-10 rows have no LU rule → unhandled_admin_level
-        assert stats["unhandled_admin_level"] == {"LU": {10: 2}}
+        # the 2 level-10 rows have no LU rule → unhandled_admin_level;
+        # the suburb relation has no admin_level at all → keyed 0
+        assert stats["unhandled_admin_level"] == {"LU": {0: 1, 10: 2}}
 
     def test_no_country_error_and_forced_code(self, spark, osm_tables):
         # strip the ISO tag → no country zone exists → hard error

@@ -3,6 +3,8 @@ distributed decode, and the full generate-from-.osm.pbf pipeline
 reproducing the golden Luxembourg counts (the reference's own entry
 surface, src/lib.rs:243-249 + tests/cosmogony_test.rs)."""
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -109,3 +111,79 @@ class TestDistributedScan:
         # the Gatineau label-node center survives the PBF round trip
         g = out.filter(F.col("osm_id") == "relation:4001").first()
         assert g["center"]["lat"] == pytest.approx(44.0 + 1.5, abs=1e-6)
+
+
+class TestVectorizedVarints:
+    def test_numpy_kernel_matches_scalar_oracle(self):
+        # the vectorized packed-varint decoder vs the scalar reference,
+        # across 1..10-byte varints, zigzag and plain
+        import random
+
+        import numpy as np
+
+        rng = random.Random(7)
+        vals = [0, 1, 127, 128, 300, 2**21 - 1, 2**35, 2**63 - 1]
+        vals += [rng.randrange(0, 2**63) for _ in range(500)]
+        buf = b"".join(pbf._varint(v) for v in vals)
+        got = pbf._packed_varints_np(buf)
+        assert got.dtype == np.int64
+        assert got.tolist() == pbf._packed_varints(buf)
+
+        svals = [0, -1, 1, -2**40, 2**40, -2**62, 2**62]
+        svals += [rng.randrange(-2**62, 2**62) for _ in range(500)]
+        zbuf = b"".join(pbf._varint(pbf._zz(v)) for v in svals)
+        assert pbf._packed_varints_np(zbuf, zigzag=True).tolist() == svals
+        assert pbf._packed_varints_np(zbuf, zigzag=True).tolist() == pbf._packed_varints(
+            zbuf, zigzag=True
+        )
+
+    def test_empty_buffer(self):
+        assert pbf._packed_varints_np(b"").tolist() == []
+
+    def test_kinds_skip(self, tmp_path):
+        # decode_block_columnar(kinds=...) skips unrequested groups
+        path, w = _world_as_pbf(tmp_path, nodes_per_block=10**9)
+        blobs = [b for b in pbf.blob_index(path) if b["type"] == "OSMData"]
+        with open(path, "rb") as fh:
+            for b in blobs:
+                fh.seek(b["offset"])
+                payload = pbf._blob_payload(fh.read(b["size"]))
+                only_ways = pbf.decode_block_columnar(payload, kinds=frozenset(["ways"]))
+                assert len(only_ways["nodes"]["tags"]) == 0
+                assert len(only_ways["relations"]["relation_id"]) == 0
+                full = pbf.decode_block_columnar(payload)
+                assert len(only_ways["ways"]["way_id"]) == len(full["ways"]["way_id"])
+
+
+class TestSinglePassScan:
+    def test_union_scan_counts(self, spark, tmp_path):
+        path, w = _world_as_pbf(tmp_path)
+        u = pbf.scan_osm_pbf(spark, path)
+        by_kind = {r["kind"]: r["n"] for r in u.groupBy("kind").agg(F.count("*").alias("n")).collect()}
+        assert by_kind[0] == len(w["nodes"])
+        assert by_kind[1] == len(w["ways"])
+        assert by_kind[2] == len(w["relations"])
+
+    def test_member_seq_preserved(self, spark, tmp_path):
+        # rel_node_members.seq is the position among ALL members (the
+        # ring-assembly contract), not among node members only
+        path, w = _world_as_pbf(tmp_path)
+        t = pbf.read_osm_pbf(spark, path)
+        got = {
+            (r["relation_id"], r["node_id"]): r["seq"]
+            for r in t["rel_node_members"].collect()
+        }
+        members_by_rel: dict[int, list] = {}
+        for rid, wid, role in w["rel_members"]:
+            members_by_rel.setdefault(rid, []).append(("way", wid))
+        for rid, nid, role in w["rel_node_members"]:
+            members_by_rel.setdefault(rid, []).append(("node", nid))
+        for (rid, nid), seq in got.items():
+            assert members_by_rel[rid][seq] == ("node", nid)
+
+    def test_snapshot_dir_reads_back(self, spark, tmp_path):
+        path, w = _world_as_pbf(tmp_path)
+        snap = str(tmp_path / "osm_union")
+        t = pbf.read_osm_pbf(spark, path, snapshot_dir=snap)
+        assert t["nodes"].count() == len(w["nodes"])
+        assert os.path.isdir(snap)

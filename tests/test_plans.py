@@ -86,3 +86,38 @@ def test_rollup_reduces_aggregates_not_fact(spark):
     plan = _plan(roll)
     # the cached finest-level aggregate feeds every leg
     assert "InMemoryTableScan" in plan
+
+
+def test_ngram_token_join_broadcast_is_budget_gated(spark):
+    """The corpus-linear token-array side must NOT be hint-broadcast over
+    budget (VERDICT r2 #1). autoBroadcastJoinThreshold is disabled so the
+    assertion isolates the HINT: under budget the hint forces broadcast;
+    over budget (0) the join falls back to a shuffle join on doc ids."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        over = _plan(Q.q_ngram_jaccard(spark, SF_DIR, broadcast_budget_bytes=0))
+        assert "SortMergeJoin [doc_a" in over or "ShuffledHashJoin [doc_a" in over
+        under = _plan(Q.q_ngram_jaccard(spark, SF_DIR))
+        assert over.count("BroadcastExchange") < under.count("BroadcastExchange")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # result parity between the two strategies (same rows either way)
+    a = Q.q_ngram_jaccard(spark, SF_DIR).collect()
+    b = Q.q_ngram_jaccard(spark, SF_DIR, broadcast_budget_bytes=0).collect()
+    assert a == b
+
+
+def test_simhash_single_pass(spark):
+    """SimHash computes all bits in ONE fold over a hash-once token array
+    (VERDICT r2 #5) — not 16 separate aggregate passes."""
+    opt = (
+        Q.q_simhash(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # one vote fold + one finish-lambda assembly; r2's shape had 16
+    assert opt.count("aggregate(") <= 3
+    # the word hash is computed once (inside transform), not per bit
+    assert opt.count("xxhash64") <= 2
