@@ -16,11 +16,16 @@ Construction:
   axis-rect decomposition in cosmospark.voronoi.subtract_rect,
   generalized to any convex polygon). Holes of A are clipped into the
   same wedges and re-attached to the piece they fall in.
-* ``subtract_polygon`` — A \\ B for arbitrary simple B: triangulate B's
-  exterior rings and subtract each triangle in turn. Exact because the
-  triangles partition B; sequential subtraction of disjoint convex
-  pieces composes exactly. Holes of B are over-subtracted (treated as
-  filled) — callers warn.
+* ``subtract_polygon`` — A \\ B for arbitrary simple B, holes of B
+  preserved (GEOS difference semantics): triangulate B's exterior rings
+  and subtract each triangle in turn (exact: the triangles partition the
+  filled exterior; sequential subtraction of disjoint convex pieces
+  composes exactly), then re-add A ∩ hole(B) pieces — area inside B's
+  holes is retained, not subtracted.
+* ``intersect_convex`` / ``convex_hull`` — A ∩ convex C (holes of A
+  preserved) and a monotone-chain hull; together with
+  ``subtract_polygon`` they give the exact concave-parent Voronoi path
+  (cell = (hull ∩ halfplanes) \\ (hull \\ parent)).
 
 Everything operates on the shared ring representation of
 cosmospark.geom: list of (poly_idx, ring_idx, xs, ys).
@@ -164,37 +169,152 @@ def subtract_convex(rings: list[geom.Ring], cxs: np.ndarray, cys: np.ndarray) ->
     return out
 
 
-def subtract_polygon(rings: list[geom.Ring], other: list[geom.Ring]) -> list[geom.Ring]:
-    """Multipolygon \\ multipolygon (holes of ``other`` treated as
-    filled): triangulate each exterior ring of ``other``, subtract the
-    triangles sequentially. Pieces whose bbox is disjoint from a
+def intersect_convex(rings: list[geom.Ring], cxs: np.ndarray, cys: np.ndarray) -> list[geom.Ring]:
+    """Multipolygon ∩ convex polygon, holes of the subject preserved
+    (clipped into the same convex region and re-attached)."""
+    cxs, cys = _ccw(cxs, cys)
+    k = len(cxs)
+    planes = []
+    for i in range(k):
+        x1, y1 = cxs[i], cys[i]
+        x2, y2 = cxs[(i + 1) % k], cys[(i + 1) % k]
+        a = -(y2 - y1)  # inward normal of a CCW ring
+        b = x2 - x1
+        planes.append((a, b, -(a * x1 + b * y1)))
+    polys: dict[int, dict[int, geom.Ring]] = {}
+    for p, r, xs, ys in rings:
+        polys.setdefault(p, {})[r] = (p, r, xs, ys)
+    out: list[geom.Ring] = []
+    pidx = 0
+    for p, by_ring in sorted(polys.items()):
+        ext = by_ring.get(0)
+        if ext is None:
+            continue
+        ex, ey = _clip_wedge(np.asarray(ext[2], float), np.asarray(ext[3], float), planes)
+        if len(ex) < 3 or abs(_ring_area_signed(ex, ey)) <= _MIN_AREA:
+            continue
+        out.append((pidx, 0, ex, ey))
+        nring = 1
+        for r, (_, _, hxs, hys) in sorted(by_ring.items()):
+            if r == 0:
+                continue
+            hx, hy = _clip_wedge(np.asarray(hxs, float), np.asarray(hys, float), planes)
+            if len(hx) >= 3 and abs(_ring_area_signed(hx, hy)) > _MIN_AREA:
+                out.append((pidx, nring, hx, hy))
+                nring += 1
+        pidx += 1
+    return out
+
+
+def _subtract_filled_exterior(
+    cur: list[geom.Ring], oxs: np.ndarray, oys: np.ndarray
+) -> list[geom.Ring]:
+    """cur \\ (filled simple polygon): ear-clip the subtrahend ring into
+    triangles and subtract them sequentially (exact: the triangles
+    partition it; each is convex). Pieces whose bbox is disjoint from a
     triangle skip the clip untouched."""
-    cur = rings
-    for _, r, oxs, oys in other:
-        if r != 0:
-            continue  # holes of the subtrahend: over-subtracted (caller warns)
-        for txs, tys in triangulate(np.asarray(oxs, float), np.asarray(oys, float)):
-            tb = (float(txs.min()), float(tys.min()), float(txs.max()), float(tys.max()))
-            nxt: list[geom.Ring] = []
-            pidx = 0
-            polys: dict[int, list[geom.Ring]] = {}
-            for ring in cur:
-                polys.setdefault(ring[0], []).append(ring)
-            for p, group in sorted(polys.items()):
-                gb = geom.bbox(group)
-                if not geom.bbox_overlaps(gb, tb):
-                    for _, rr, xs, ys in group:
-                        nxt.append((pidx, rr, xs, ys))
+    for txs, tys in triangulate(np.asarray(oxs, float), np.asarray(oys, float)):
+        tb = (float(txs.min()), float(tys.min()), float(txs.max()), float(tys.max()))
+        nxt: list[geom.Ring] = []
+        pidx = 0
+        polys: dict[int, list[geom.Ring]] = {}
+        for ring in cur:
+            polys.setdefault(ring[0], []).append(ring)
+        for p, group in sorted(polys.items()):
+            gb = geom.bbox(group)
+            if not geom.bbox_overlaps(gb, tb):
+                for _, rr, xs, ys in group:
+                    nxt.append((pidx, rr, xs, ys))
+                pidx += 1
+                continue
+            pieces = subtract_convex(group, txs, tys)
+            remap: dict[int, int] = {}
+            for pp, rr, xs, ys in pieces:
+                if pp not in remap:
+                    remap[pp] = pidx
                     pidx += 1
-                    continue
-                pieces = subtract_convex(group, txs, tys)
-                remap: dict[int, int] = {}
-                for pp, rr, xs, ys in pieces:
-                    if pp not in remap:
-                        remap[pp] = pidx
-                        pidx += 1
-                    nxt.append((remap[pp], rr, xs, ys))
-            cur = nxt
-            if not cur:
-                return []
+                nxt.append((remap[pp], rr, xs, ys))
+        cur = nxt
+        if not cur:
+            return []
     return cur
+
+
+def subtract_polygon(rings: list[geom.Ring], other: list[geom.Ring]) -> list[geom.Ring]:
+    """Multipolygon \\ multipolygon, HOLES OF THE SUBTRAHEND PRESERVED
+    (GEOS difference semantics, the reference's
+    src/additional_zones.rs:198-235): per subtrahend polygon
+    P = ext \\ ∪holes,
+
+        A \\ P  =  (A \\ ext) ∪ (A ∩ hole_1) ∪ … ∪ (A ∩ hole_k)
+
+    — the parts of A inside P's holes are NOT subtracted. Each union
+    term is disjoint (holes ⊆ ext interior, holes pairwise disjoint), so
+    the pieces concatenate exactly. Round 2 treated holes as filled and
+    over-subtracted with a warning."""
+    cur = rings
+    polys: dict[int, dict[int, geom.Ring]] = {}
+    for p, r, xs, ys in other:
+        polys.setdefault(p, {})[r] = (p, r, xs, ys)
+    for p, by_ring in sorted(polys.items()):
+        ext = by_ring.get(0)
+        if ext is None:
+            continue
+        # pieces of cur inside this polygon's holes are retained area —
+        # captured BEFORE the (filled) exterior is subtracted. Pieces
+        # from different hole triangles are renumbered into disjoint
+        # poly ids (each intersect_convex call restarts at 0).
+        retained: list[geom.Ring] = []
+        next_p = 0
+        for r, (_, _, hxs, hys) in sorted(by_ring.items()):
+            if r == 0:
+                continue
+            for txs, tys in triangulate(np.asarray(hxs, float), np.asarray(hys, float)):
+                pieces = intersect_convex(cur, txs, tys)
+                if not pieces:
+                    continue
+                retained.extend((next_p + pp, rr, xs, ys) for pp, rr, xs, ys in pieces)
+                next_p += 1 + max(pp for pp, _, _, _ in pieces)
+        cur = _subtract_filled_exterior(cur, ext[2], ext[3])
+        if retained:
+            base = 1 + max((rr[0] for rr in cur), default=-1)
+            remap: dict[int, int] = {}
+            readd: list[geom.Ring] = []
+            for pp, rr, xs, ys in retained:
+                if pp not in remap:
+                    remap[pp] = base
+                    base += 1
+                readd.append((remap[pp], rr, xs, ys))
+            cur = cur + readd
+        if not cur:
+            return []
+    return cur
+
+
+def convex_hull(xs: np.ndarray, ys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Convex hull of a point set (Andrew's monotone chain), CCW open
+    ring. Used by the exact concave-parent Voronoi path: SH clipping is
+    exact on the hull (convex), and hull \\ parent subtracts back out."""
+    xs = np.asarray(xs, float)
+    ys = np.asarray(ys, float)
+    pts = sorted(set(zip(xs.tolist(), ys.tolist())))
+    if len(pts) <= 2:
+        px = np.array([p[0] for p in pts])
+        py = np.array([p[1] for p in pts])
+        return px, py
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    lower: list = []
+    for p in pts:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    upper: list = []
+    for p in reversed(pts):
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    hull = lower[:-1] + upper[:-1]
+    return np.array([p[0] for p in hull]), np.array([p[1] for p in hull])

@@ -14,11 +14,12 @@ Reimplements src/additional_zones.rs (compute_additional_places):
    intersect a generated polygon are subtracted from it (:198-254);
 5. generated zones are appended with dense ids (:418-423).
 
-Geometry is pure numpy: Voronoi cells are built by half-plane clipping
-(Sutherland–Hodgman) of the parent exterior — no GEOS. Polygon
-difference is exact for axis-aligned-rectangle subtrahends (the fixture
-world), via the 4-piece rectangle-complement decomposition; non-rect
-subtrahends fall back to their bbox (documented approximation).
+Geometry is pure numpy — no GEOS. Voronoi cells are exact for arbitrary
+parents: half-plane clipping (Sutherland–Hodgman) of the parent's
+CONVEX HULL (convex subject → SH exact), then exact subtraction of
+hull \\ parent (cosmospark.clip convex decomposition, holes preserved).
+Polygon difference is exact for arbitrary simple subtrahends including
+holes; axis-aligned rectangles keep the cheap 4-piece path.
 
 The Spark shape: places grouped per parent (A1 collect) → applyInPandas
 over parent groups with the zone dimension broadcast — parents are few,
@@ -71,15 +72,51 @@ def clip_rect(xs: np.ndarray, ys: np.ndarray, rect) -> tuple[np.ndarray, np.ndar
 
 
 def voronoi_cells(px: np.ndarray, py: np.ndarray, boundary: list[geom.Ring]) -> list:
-    """Voronoi cell of each point, clipped to the boundary's exterior
-    rings. Cell i = ∩_j {x: halfplane closer to i than j} ∩ boundary.
-    Returns a list of multipolygons (one per point)."""
-    exteriors = [(p, r, xs, ys) for (p, r, xs, ys) in boundary if r == 0]
+    """Voronoi cell of each point, clipped to the boundary — EXACT for
+    arbitrary (concave, holed, multi-) parent polygons, matching the
+    reference's GEOS voronoi ∩ parent (additional_zones.rs:320-416).
+
+    Cell i = H_i ∩ parent with H_i = ∩_j {closer to i than j}. Direct SH
+    clipping of a concave exterior against the bisectors is NOT exact
+    (SH is only exact for convex subjects), so per parent polygon:
+
+        conv_i   = hull(parent_poly) ∩ H_i      (SH on a convex subject — exact)
+        residual = hull \\ parent_poly          (exact triangle difference,
+                                                 holes of the parent become
+                                                 retained residual area)
+        cell_i   = conv_i \\ residual           (exact difference)
+
+    ``residual`` is computed ONCE per parent polygon and shared by all
+    points; convex hole-free parents short-circuit (residual empty →
+    cell = conv_i directly)."""
+    from cosmospark import clip as _clip
+
+    polys_by: dict[int, list[geom.Ring]] = {}
+    for p, r, xs, ys in boundary:
+        polys_by.setdefault(p, []).append((p, r, xs, ys))
+    prepared = []  # (hull_xs, hull_ys, residual multipolygon)
+    for p, group in sorted(polys_by.items()):
+        ext = next((g for g in group if g[1] == 0), None)
+        if ext is None:
+            continue
+        exs, eys = geom._close_ring(np.asarray(ext[2], float), np.asarray(ext[3], float))
+        hxs, hys = _clip.convex_hull(exs, eys)
+        if len(hxs) < 3:
+            continue
+        hull_area = abs(_clip._ring_area_signed(hxs, hys))
+        poly_area = geom.area(group)
+        if hull_area - poly_area <= 1e-12 * max(hull_area, 1.0):
+            residual: list[geom.Ring] = []  # convex, no holes
+        else:
+            residual = _clip.subtract_polygon([(0, 0, hxs, hys)], group)
+        prepared.append((hxs, hys, residual))
+
     cells = []
     for i in range(len(px)):
         polys: list[geom.Ring] = []
-        for poly_idx, (_, _, bxs, bys) in enumerate(exteriors):
-            xs, ys = geom._close_ring(np.asarray(bxs, float), np.asarray(bys, float))
+        pidx = 0
+        for hxs, hys, residual in prepared:
+            xs, ys = hxs, hys
             for j in range(len(px)):
                 if i == j:
                     continue
@@ -90,8 +127,15 @@ def voronoi_cells(px: np.ndarray, py: np.ndarray, boundary: list[geom.Ring]) -> 
                 xs, ys = clip_halfplane(xs, ys, a, b, c)
                 if len(xs) == 0:
                     break
-            if len(xs) >= 3:
-                polys.append((poly_idx, 0, xs, ys))
+            if len(xs) < 3:
+                continue
+            if residual:
+                pieces = _clip.subtract_polygon([(0, 0, xs, ys)], residual)
+            else:
+                pieces = [(0, 0, xs, ys)]
+            for pp, rr, cxs, cys in pieces:
+                polys.append((pidx + pp, rr, cxs, cys))
+            pidx += 1 + max((pp for pp, _, _, _ in pieces), default=-1)
         cells.append(polys)
     return cells
 
@@ -137,24 +181,15 @@ def _is_axis_rect(other: list[geom.Ring]) -> bool:
 
 def subtract_zone(rings: list[geom.Ring], other: list[geom.Ring]) -> list[geom.Ring]:
     """Subtract ``other`` from ``rings``. Exact for arbitrary simple
-    polygons via convex decomposition (cosmospark.clip.subtract_polygon:
-    ear-clipped triangles, each subtracted by half-plane wedge
-    decomposition); axis-aligned rectangles keep the cheap 4-piece path.
-    Holes of ``other`` are subtracted conservatively as part of its
-    triangulated exterior (a warning is emitted: the hole's area is
-    over-subtracted — the reference's GEOS difference would keep it,
-    src/additional_zones.rs:198-235)."""
+    polygons INCLUDING holes of the subtrahend (GEOS difference
+    semantics, src/additional_zones.rs:198-235 — area inside ``other``'s
+    holes is retained) via convex decomposition
+    (cosmospark.clip.subtract_polygon); axis-aligned rectangles keep the
+    cheap 4-piece path."""
     if _is_axis_rect(other):
         return subtract_rect(rings, geom.bbox(other))
-    import warnings
-
     from cosmospark import clip
 
-    if any(r[1] != 0 for r in other):
-        warnings.warn(
-            "subtract_zone: subtrahend has holes; holes are over-subtracted "
-            "(treated as filled)", stacklevel=2
-        )
     return clip.subtract_polygon(rings, other)
 
 

@@ -139,13 +139,116 @@ class TestSubtractZoneDispatch:
         out = subtract_zone(a, b)
         assert geom.area(out) == pytest.approx(98.0, rel=1e-9)
 
-    def test_holes_warn(self):
+    def test_holed_subtrahend_retained(self):
+        # VERDICT r2 #3: area inside the subtrahend's hole is RETAINED
+        # (GEOS semantics), not over-subtracted — and no warning
+        import warnings
+
         a = geom.make_rect(0, 0, 10, 10)
         b = [
             (0, 0, np.array([2.0, 6, 6, 2]), np.array([2.0, 2, 6, 6])),
             (0, 1, np.array([3.0, 5, 5, 3]), np.array([3.0, 3, 5, 5])),
         ]
-        with pytest.warns(UserWarning, match="holes"):
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
             out = subtract_zone(a, b)
-        # over-subtracted: hole treated as filled
-        assert geom.area(out) == pytest.approx(100.0 - 16.0, rel=1e-9)
+        # 100 − (16 filled) + (4 hole retained)
+        assert geom.area(out) == pytest.approx(100.0 - 16.0 + 4.0, rel=1e-9)
+
+
+class TestHolePreservingDifference:
+    def test_donut_subtrahend_grid_oracle(self):
+        a = geom.make_rect(0, 0, 10, 10)
+        b = [
+            (0, 0, np.array([2.0, 6, 6, 2]), np.array([2.0, 2, 6, 6])),
+            (0, 1, np.array([3.0, 5, 5, 3]), np.array([3.0, 3, 5, 5])),
+        ]
+        out = check_difference(a, b)
+        assert geom.area(out) == pytest.approx(100.0 - 16.0 + 4.0, rel=1e-9)
+
+    def test_donut_partial_overlap_grid_oracle(self):
+        # subtrahend donut straddles A's edge; its hole partially inside
+        a = geom.make_rect(0, 0, 10, 10)
+        b = [
+            (0, 0, np.array([7.0, 13, 13, 7]), np.array([7.0, 7, 13, 13])),
+            (0, 1, np.array([9.0, 11, 11, 9]), np.array([9.0, 9, 11, 11])),
+        ]
+        out = check_difference(a, b)
+        # A \ B = 100 − (A∩ext = 9) + (A∩hole = 1)
+        assert geom.area(out) == pytest.approx(100.0 - 9.0 + 1.0, rel=1e-9)
+
+    def test_concave_hole_grid_oracle(self):
+        # L-shaped hole → the hole triangulates into >1 triangle
+        a = geom.make_rect(0, 0, 10, 10)
+        hx = np.array([2.0, 6, 6, 4, 4, 2])
+        hy = np.array([2.0, 2, 4, 4, 6, 6])
+        b = [
+            (0, 0, np.array([1.0, 7, 7, 1]), np.array([1.0, 1, 7, 7])),
+            (0, 1, hx, hy),
+        ]
+        out = check_difference(a, b)
+        assert geom.area(out) == pytest.approx(
+            100.0 - 36.0 + geom.area([(0, 0, hx, hy)]), rel=1e-9
+        )
+
+    def test_holed_subject_and_holed_subtrahend(self):
+        a = [
+            (0, 0, np.array([0.0, 10, 10, 0]), np.array([0.0, 0, 10, 10])),
+            (0, 1, np.array([7.0, 9, 9, 7]), np.array([7.0, 7, 9, 9])),
+        ]
+        b = [
+            (0, 0, np.array([1.0, 5, 5, 1]), np.array([1.0, 1, 5, 5])),
+            (0, 1, np.array([2.0, 4, 4, 2]), np.array([2.0, 2, 4, 4])),
+        ]
+        out = check_difference(a, b)
+        # (100 − 4 subject hole) − (16 filled ext) + (4 subtrahend hole)
+        assert geom.area(out) == pytest.approx(96.0 - 16.0 + 4.0, rel=1e-9)
+
+    def test_two_subtrahend_polys_one_holed(self):
+        a = geom.make_rect(0, 0, 12, 12)
+        b = [
+            (0, 0, np.array([1.0, 4, 4, 1]), np.array([1.0, 1, 4, 4])),
+            (0, 1, np.array([2.0, 3, 3, 2]), np.array([2.0, 2, 3, 3])),
+            (1, 0, np.array([6.0, 9, 6]), np.array([6.0, 6, 9])),
+        ]
+        out = check_difference(a, b)
+        assert geom.area(out) == pytest.approx(144.0 - 9.0 + 1.0 - 4.5, rel=1e-9)
+
+
+class TestIntersectConvex:
+    def test_square_triangle(self):
+        # triangle (5,5)(13,5)(5,13) ∩ [0,10]²: strip [5,8]×[5,10] = 15
+        # plus ∫₈¹⁰ (13−x) dx = 8 → 23
+        a = geom.make_rect(0, 0, 10, 10)
+        out = clip.intersect_convex(a, np.array([5.0, 13, 5]), np.array([5.0, 5, 13]))
+        assert geom.area(out) == pytest.approx(23.0, rel=1e-9)
+
+    def test_subject_hole_preserved(self):
+        donut = [
+            (0, 0, np.array([0.0, 10, 10, 0]), np.array([0.0, 0, 10, 10])),
+            (0, 1, np.array([2.0, 4, 4, 2]), np.array([2.0, 2, 4, 4])),
+        ]
+        out = clip.intersect_convex(
+            donut, np.array([1.0, 5, 5, 1]), np.array([1.0, 1, 5, 5])
+        )
+        assert geom.area(out) == pytest.approx(16.0 - 4.0, rel=1e-9)
+
+    def test_disjoint_is_empty(self):
+        a = geom.make_rect(0, 0, 2, 2)
+        out = clip.intersect_convex(a, np.array([5.0, 7, 5]), np.array([5.0, 5, 7]))
+        assert out == []
+
+
+class TestConvexHull:
+    def test_hull_of_concave_ring(self):
+        xs = np.array([0.0, 4, 4, 2, 2, 0])
+        ys = np.array([0.0, 0, 2, 2, 4, 4])
+        hx, hy = clip.convex_hull(xs, ys)
+        assert abs(clip._ring_area_signed(hx, hy)) == pytest.approx(14.0)
+        assert clip._ring_area_signed(hx, hy) > 0  # CCW
+
+    def test_hull_of_convex_equals_input_set(self):
+        xs = np.array([0.0, 4, 4, 0])
+        ys = np.array([0.0, 0, 4, 4])
+        hx, hy = clip.convex_hull(xs, ys)
+        assert set(zip(hx.tolist(), hy.tolist())) == set(zip(xs.tolist(), ys.tolist()))

@@ -134,3 +134,84 @@ class TestSparkJob:
         )
         out = compute_additional_places(world, places)
         assert out.count() == 1
+
+
+class TestConcaveParentVoronoi:
+    """VERDICT r2 #4: voronoi exact on concave / holed / multi parents —
+    cell_i must equal {closer to i than any j} ∩ parent, verified by a
+    dense-grid nearest-site oracle plus exact area accounting."""
+
+    def _grid_check(self, px, py, parent, cells, n=160):
+        b = geom.bbox(parent)
+        gx, gy = np.meshgrid(
+            np.linspace(b[0] - 0.2, b[2] + 0.2, n),
+            np.linspace(b[1] - 0.2, b[3] + 0.2, n),
+        )
+        gx, gy = gx.ravel(), gy.ravel()
+        in_parent = geom.pip(gx, gy, parent)
+        d2 = (gx[:, None] - px[None, :]) ** 2 + (gy[:, None] - py[None, :]) ** 2
+        nearest = d2.argmin(axis=1)
+        # exclude boundary-ambiguous points: near parent edges or near a
+        # bisector tie
+        near_edge = geom.on_boundary(gx, gy, parent, eps=1e-6)
+        srt = np.sort(d2, axis=1)
+        tie = (srt[:, 1] - srt[:, 0]) < 1e-6
+        ok = ~(near_edge | tie)
+        for i, cell in enumerate(cells):
+            got = (
+                geom.pip(gx[ok], gy[ok], cell)
+                if cell
+                else np.zeros(ok.sum(), dtype=bool)
+            )
+            exp = in_parent[ok] & (nearest[ok] == i)
+            bad = got != exp
+            assert not bad.any(), f"cell {i}: {bad.sum()} grid points disagree"
+        # cells partition the parent: areas sum to parent area
+        total = sum(geom.area(c) for c in cells)
+        assert total == pytest.approx(geom.area(parent), rel=1e-6)
+
+    def test_l_shaped_parent(self):
+        # L-shaped commune: (0,0)(10,0)(10,4)(4,4)(4,10)(0,10), area 64
+        parent = [(0, 0, np.array([0.0, 10, 10, 4, 4, 0]),
+                   np.array([0.0, 0, 4, 4, 10, 10]))]
+        px = np.array([2.0, 8.0, 2.0])
+        py = np.array([2.0, 2.0, 8.0])
+        cells = voronoi_cells(px, py, parent)
+        assert geom.area(parent) == pytest.approx(64.0)
+        self._grid_check(px, py, parent, cells)
+        # the concave notch: a cell may NOT spill into the notch region
+        # (e.g. (7,7) is outside the parent entirely)
+        for cell in cells:
+            assert not geom.pip(np.array([7.0]), np.array([7.0]), cell)[0]
+
+    def test_holed_parent(self):
+        parent = [
+            (0, 0, np.array([0.0, 10, 10, 0]), np.array([0.0, 0, 10, 10])),
+            (0, 1, np.array([4.0, 6, 6, 4]), np.array([4.0, 4, 6, 6])),
+        ]
+        px = np.array([2.0, 8.0])
+        py = np.array([5.0, 5.0])
+        cells = voronoi_cells(px, py, parent)
+        self._grid_check(px, py, parent, cells)
+        # hole excluded from both cells
+        for cell in cells:
+            assert not geom.pip(np.array([5.0]), np.array([5.0]), cell)[0]
+
+    def test_multipolygon_parent(self):
+        # two islands; three sites, one island has two
+        parent = [
+            (0, 0, np.array([0.0, 4, 4, 0]), np.array([0.0, 0, 4, 4])),
+            (1, 0, np.array([6.0, 10, 10, 6]), np.array([0.0, 0, 4, 4])),
+        ]
+        px = np.array([1.0, 3.0, 8.0])
+        py = np.array([2.0, 2.0, 2.0])
+        cells = voronoi_cells(px, py, parent)
+        self._grid_check(px, py, parent, cells)
+
+    def test_convex_parent_unchanged(self):
+        # the fast path still partitions exactly
+        parent = geom.make_rect(0, 0, 10, 10)
+        px = np.array([2.0, 8.0, 5.0])
+        py = np.array([2.0, 8.0, 5.0])
+        cells = voronoi_cells(px, py, parent)
+        self._grid_check(px, py, parent, cells)
