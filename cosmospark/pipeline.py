@@ -277,8 +277,27 @@ def build_zones(
     )
     fingerprint = _hashlib.md5(fp_src.encode()).hexdigest()
 
+    # EVERY stage is fingerprint-gated, and each stage's fingerprint
+    # folds in the upstream stage's committed manifest identity
+    # (fingerprint + committed_at) — so (a) changing rules /
+    # --filter-langs / --country-code invalidates parented/voronoi/
+    # labelled too (ADVICE r2: they used to resume stale snapshots that
+    # silently ignored the new config), and (b) an upstream recompute
+    # for ANY reason cascades downstream.
+    prev_token = "root"
+
     def _stage(name, fn):
-        return ckpt.run_stage_fp(spark, checkpoint_root, name, fingerprint, fn)
+        nonlocal prev_token
+        fp = _hashlib.md5(
+            f"{fingerprint}:{name}:{prev_token}".encode()
+        ).hexdigest()
+        df = ckpt.run_stage_fp(spark, checkpoint_root, name, fp, fn)
+        if checkpoint_root is not None:
+            m = ckpt.read_manifest(checkpoint_root, name)
+            prev_token = f"{m.get('fingerprint')}@{m.get('committed_at')}"
+        else:
+            prev_token = fp
+        return df
 
     def _prep():
         z = extract_zone_fields(zones_raw)
@@ -302,9 +321,7 @@ def build_zones(
 
         stats.update(typing_stats(typed))
 
-    parented = ckpt.run_stage(
-        spark, checkpoint_root, "parented", lambda: build_hierarchy(typed, inclusions)
-    )
+    parented = _stage("parented", lambda: build_hierarchy(typed, inclusions))
 
     # stage 3d (src/lib.rs:219 compute_additional_places) — voronoi city
     # generation, off by default like the reference's --disable-voronoi
@@ -317,13 +334,13 @@ def build_zones(
             new = compute_additional_places(parented, places)
             return publish_new_places(parented, new)
 
-        parented = ckpt.run_stage(spark, checkpoint_root, "voronoi", _with_places)
+        parented = _stage("voronoi", _with_places)
 
     def _labelled():
         z = compute_names(parented)
         return compute_labels(z, filter_langs=filter_langs)
 
-    labelled = ckpt.run_stage(spark, checkpoint_root, "labelled", _labelled)
+    labelled = _stage("labelled", _labelled)
 
     out = labelled if keep_untyped else clean_untagged_zones(labelled)
     return out

@@ -54,3 +54,124 @@ class TestIvfStore:
             for r in q_ann_ivf(spark, SF_DIR).orderBy("rk").collect()
         ]
         assert got == exp
+
+
+class TestRecall:
+    """VERDICT r2 #7: measured recall-vs-brute-force curves.
+
+    The fixture embeddings are uniform-random (no cluster structure —
+    the regime where ANY probe-limited index is information-theoretically
+    weak), so the fixture test pins curve SHAPE (monotone in probes,
+    exact at full scan). The ≥0.9-at-fixed-budget bars are measured on
+    deterministic synthetic data with the structure the indexes exist
+    for: clustered vectors (IVF) and planted near-dup pairs (LSH)."""
+
+    @staticmethod
+    def _vectors(spark):
+        import numpy as np
+
+        rows = (
+            spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+            .orderBy("vec_id")
+            .collect()
+        )
+        ids = np.array([r["vec_id"] for r in rows])
+        V = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+        return ids, V
+
+    @staticmethod
+    def _clustered(n=400, dim=64, k=8, noise=0.25, seed=11):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        centers = rng.normal(size=(k, dim))
+        centers /= np.sqrt((centers**2).sum(axis=1, keepdims=True))
+        labels = np.arange(n) % k
+        V = centers[labels] + noise * rng.normal(size=(n, dim)) / np.sqrt(dim)
+        return V, centers
+
+    @staticmethod
+    def _ivf_recall_curve(spark, path, ids, V, probes_list, k=10, n_queries=20):
+        import numpy as np
+
+        norms = np.sqrt((V * V).sum(axis=1))
+        queries = list(range(0, n_queries * 10, 10))
+        recalls = {}
+        for n_probes in probes_list:
+            hit = tot = 0
+            for qi in queries:
+                sims = (V @ V[qi]) / (norms * norms[qi])
+                sims[qi] = -np.inf
+                order = np.lexsort((ids, -sims))
+                true_top = set(ids[order[:k]].tolist())
+                got = {
+                    r["vec_id"]
+                    for r in ann.search_ivf(
+                        spark, path, V[qi].tolist(), k=k,
+                        n_probes=n_probes, exclude_vec_id=int(ids[qi]),
+                    ).collect()
+                }
+                hit += len(got & true_top)
+                tot += k
+            recalls[n_probes] = hit / tot
+        return recalls
+
+    def test_ivf_curve_shape_on_fixture(self, spark, store):
+        path, cents, _, _ = store
+        ids, V = self._vectors(spark)
+        recalls = self._ivf_recall_curve(spark, path, ids, V, (1, 4, 8))
+        assert recalls[1] <= recalls[4] <= recalls[8]
+        assert recalls[8] == pytest.approx(1.0)  # full scan = brute force
+
+    def test_ivf_recall_bar_on_clustered_data(self, spark, tmp_path):
+        import numpy as np
+
+        V, centers = self._clustered()
+        ids = np.arange(len(V))
+        e = spark.createDataFrame(
+            [(int(i), [float(x) for x in v]) for i, v in zip(ids, V)],
+            "vec_id long, embedding array<double>",
+        )
+        path = str(tmp_path / "ivf_clustered")
+        ann.write_ivf(e, path, [c.tolist() for c in centers])
+        recalls = self._ivf_recall_curve(spark, path, ids, V, (1, 2, 8))
+        assert recalls[1] <= recalls[2] <= recalls[8]
+        assert recalls[8] == pytest.approx(1.0)
+        # the fixed probe budget: 2 of 8 lists reads 1/4 of the table
+        assert recalls[2] >= 0.9, f"recall curve {recalls}"
+
+    def test_lsh_multi_table_pair_recall(self, spark):
+        import numpy as np
+
+        # planted near-dup pairs: 200 bases + a perturbed copy of each
+        rng = np.random.default_rng(5)
+        dim, n = 64, 200
+        base = rng.normal(size=(n, dim))
+        base /= np.sqrt((base**2).sum(axis=1, keepdims=True))
+        pert = base + 0.18 * rng.normal(size=(n, dim)) / np.sqrt(dim)
+        V = np.concatenate([base, pert])
+        norms = np.sqrt((V * V).sum(axis=1))
+        S = (V @ V.T) / np.outer(norms, norms)
+        iu = np.triu_indices(len(V), k=1)
+        thresh = 0.9
+        truth = {(int(i), int(j)) for i, j in zip(*iu) if S[i, j] >= thresh}
+        assert len(truth) >= n * 0.9  # the planted pairs are the truth
+
+        e = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(V)],
+            "vec_id long, embedding array<double>",
+        )
+        recalls = {}
+        for n_tables in (1, 8):
+            cand = {
+                (r["id_a"], r["id_b"])
+                for r in ann.lsh_candidate_pairs(
+                    e, n_tables=n_tables, n_bits=6
+                ).collect()
+            }
+            recalls[n_tables] = len(cand & truth) / len(truth)
+        # multi-table union lifts recall (the deterministic hyperplane
+        # family carries some cross-table correlation, so the lift is
+        # sub-exponential — still decisive)
+        assert recalls[8] > recalls[1]
+        assert recalls[8] >= 0.9, f"L-table recall {recalls} over {len(truth)} pairs"

@@ -191,3 +191,71 @@ class TestCheckpointFingerprint:
         ckpt.write_stage(spark.range(7), root, "s", fingerprint="y")
         assert ckpt.read_manifest(root, "s")["n_rows"] == 7
         assert not os.path.exists(os.path.join(root, "s._old"))
+
+
+class TestFingerprintCascade:
+    def test_changed_filter_langs_recomputes_labelled_on_resume(self, spark, tmp_path):
+        # ADVICE r2: parented/labelled used to resume via plain run_stage
+        # — rebuilding with different --filter-langs silently reused the
+        # stale labelled snapshot and ignored the new config entirely
+        from cosmospark.fixtures import LUX_RULES_LEVELS, lux_world
+        from cosmospark.pipeline import build_zones
+        from cosmospark.typer import make_rules
+        from cosmospark.ztypes import ZONES_RAW_SCHEMA
+
+        raw = spark.createDataFrame(lux_world(), schema=ZONES_RAW_SCHEMA)
+        rules = make_rules(spark, LUX_RULES_LEVELS)
+        root = str(tmp_path / "ck")
+
+        out1 = build_zones(spark, raw, rules, checkpoint_root=root)
+        langs1 = {
+            r["osm_id"]: sorted((r["international_labels"] or {}).keys())
+            for r in out1.collect()
+        }
+        assert any("fr" in v for v in langs1.values())
+
+        # resume the SAME checkpoint dir with a different lang filter —
+        # the labelled stage must recompute, not reuse the snapshot
+        out2 = build_zones(
+            spark, raw, rules, checkpoint_root=root, filter_langs=["br"]
+        )
+        langs2 = {
+            r["osm_id"]: sorted((r["international_labels"] or {}).keys())
+            for r in out2.collect()
+        }
+        # a stale labelled snapshot would still carry 'fr' labels —
+        # every language surviving the resume must respect the filter
+        assert all(set(v) <= {"br"} for v in langs2.values())
+        assert langs2 != langs1
+
+        # and resuming again with the original config recomputes back
+        out3 = build_zones(spark, raw, rules, checkpoint_root=root)
+        langs3 = {
+            r["osm_id"]: sorted((r["international_labels"] or {}).keys())
+            for r in out3.collect()
+        }
+        assert langs3 == langs1
+
+    def test_upstream_recompute_cascades(self, spark, tmp_path):
+        # deleting/invalidating an upstream snapshot must invalidate the
+        # downstream ones (their fingerprints fold in the upstream
+        # manifest identity)
+        import shutil
+
+        from cosmospark import checkpoint as ckpt
+        from cosmospark.fixtures import LUX_RULES_LEVELS, lux_world
+        from cosmospark.pipeline import build_zones
+        from cosmospark.typer import make_rules
+        from cosmospark.ztypes import ZONES_RAW_SCHEMA
+
+        raw = spark.createDataFrame(lux_world(), schema=ZONES_RAW_SCHEMA)
+        rules = make_rules(spark, LUX_RULES_LEVELS)
+        root = str(tmp_path / "ck2")
+        build_zones(spark, raw, rules, checkpoint_root=root).count()
+        lab_before = ckpt.read_manifest(root, "labelled")["committed_at"]
+
+        # blow away 'typed' → prep/inclusions resume, typed recomputes,
+        # and parented + labelled must recompute too (fresh committed_at)
+        shutil.rmtree(f"{root}/typed")
+        build_zones(spark, raw, rules, checkpoint_root=root).count()
+        assert ckpt.read_manifest(root, "labelled")["committed_at"] > lab_before

@@ -121,3 +121,27 @@ def test_simhash_single_pass(spark):
     assert opt.count("aggregate(") <= 3
     # the word hash is computed once (inside transform), not per bit
     assert opt.count("xxhash64") <= 2
+
+
+def test_partitioned_assignment_no_geometry_broadcast(spark):
+    """VERDICT r2 #8: the partitioned (over-broadcast-budget) assignment
+    path must plan as a cell cogroup with ZERO broadcast exchanges — no
+    executor ever receives the full zone geometry."""
+    from pyspark.sql import functions as F
+
+    from cosmospark.assign import assign_zones, encode_points
+    from cosmospark.queries import _lux_typed_zones
+
+    pts = spark.range(1000).select(
+        F.col("id").alias("pid"),
+        F.expr("cast(2.0 + (id * 7919 % 1300) / 100.0 as double)").alias("lon"),
+        F.expr("cast(44.0 + (id * 104729 % 1000) / 100.0 as double)").alias("lat"),
+    )
+    df = assign_zones(
+        encode_points(pts), _lux_typed_zones(spark),
+        strategy="partitioned", id_col="pid",
+    )
+    plan = _plan(df)
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "BroadcastExchange" not in plan
+    assert "CartesianProduct" not in plan
