@@ -862,6 +862,75 @@ ORDER BY id_a, id_b
 """
 
 
+ANN_MULTI_TABLES = 2
+ANN_MULTI_BITS = 8
+
+
+def q_ann_lsh_multi(spark, sf_dir):
+    """Multi-table sign-LSH ANN (the recall-story path, VERDICT r2 #7):
+    L independent hyperplane tables, candidates unioned, exact cosine ≥
+    0.2 verification. One projection computes all L buckets per vector;
+    the embedding sides join the candidate pairs UNHINTED (corpus-linear
+    — AQE broadcasts only when genuinely small)."""
+    from cosmospark.ann import lsh_candidate_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    cand = lsh_candidate_pairs(
+        e, n_tables=ANN_MULTI_TABLES, n_bits=ANN_MULTI_BITS
+    )
+    ea = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    eb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    dot = "aggregate(zip_with(ea, eb, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+    na = "sqrt(aggregate(ea, 0D, (a, x) -> a + x * x))"
+    nb = "sqrt(aggregate(eb, 0D, (a, x) -> a + x * x))"
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn("cos_sim", F.expr(f"round({dot} / ({na} * {nb}), 6)"))
+        .filter(F.col("cos_sim") >= 0.2)
+        .select("id_a", "id_b", "cos_sim")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def sql_ann_lsh_multi(dim: int):
+    """DuckDB oracle: re-derives every table's bucket with the same
+    sequential-fold arithmetic, unions candidates, scores exactly."""
+    legs = []
+    for t in range(ANN_MULTI_TABLES):
+        bits = []
+        for j in range(ANN_MULTI_BITS):
+            h = _hyperplane(t * 101 + j, dim)
+            hlit = "[" + ", ".join(repr(v) for v in h) + "]"
+            dot = (
+                f"list_aggregate(list_transform(list_zip(embedding, {hlit}), "
+                f"p -> p[1] * p[2]), 'sum')"
+            )
+            bits.append(f"CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END")
+        legs.append(
+            f"SELECT vec_id, embedding, {t} AS tbl, {' + '.join(bits)} AS bucket "
+            f"FROM embeddings"
+        )
+    union = " UNION ALL ".join(legs)
+    pdot = "list_aggregate(list_transform(list_zip(ea, eb), p -> p[1] * p[2]), 'sum')"
+    pna = "sqrt(list_aggregate(list_transform(ea, x -> x * x), 'sum'))"
+    pnb = "sqrt(list_aggregate(list_transform(eb, x -> x * x), 'sum'))"
+    return f"""
+WITH b AS ({union}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+  FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket
+   AND a.vec_id < b2.vec_id),
+pairs AS (
+  SELECT id_a, id_b, ea.embedding AS ea, eb.embedding AS eb
+  FROM cand JOIN embeddings ea ON ea.vec_id = id_a
+            JOIN embeddings eb ON eb.vec_id = id_b)
+SELECT id_a, id_b, ROUND({pdot} / ({pna} * {pnb}), 6) AS cos_sim
+FROM pairs WHERE ROUND({pdot} / ({pna} * {pnb}), 6) >= 0.2
+ORDER BY id_a, id_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators (documents / embeddings)
 
@@ -2093,6 +2162,7 @@ def queries() -> dict:
         "events_window": q_events_window,
         "lang_id": q_lang_id,
         "ann_lsh": q_ann_lsh,
+        "ann_lsh_multi": q_ann_lsh_multi,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
@@ -2159,6 +2229,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "events_window": SQL_EVENTS_WINDOW,
         "lang_id": sql_lang_id(),
         "ann_lsh": sql_ann_lsh(_emb_dim(sf_dir)),
+        "ann_lsh_multi": sql_ann_lsh_multi(_emb_dim(sf_dir)),
         "semi_anti_join": SQL_SEMI_ANTI,
         "top_revenue": SQL_TOP_REVENUE,
         "set_intersect_except": SQL_INTERSECT,

@@ -151,10 +151,13 @@ def star_polys(draw):
     cx = draw(st.floats(min_value=-50.0, max_value=50.0, allow_nan=False))
     cy = draw(st.floats(min_value=-50.0, max_value=50.0, allow_nan=False))
     rng = np.random.default_rng(seed)
-    th = np.sort(rng.uniform(0.0, 2.0 * np.pi, n))
-    # min angular gap so edges are non-degenerate
-    if np.min(np.diff(th, append=th[0] + 2 * np.pi)) < 1e-3:
-        th = np.linspace(0.0, 2.0 * np.pi, n, endpoint=False) + rng.uniform(0, 0.3, n) / n
+    # jittered full-circle angles: every gap ≤ 1.8·(2π/n) < π for n ≥ 6,
+    # so the polygon is genuinely star-shaped around (cx, cy) — free
+    # uniform angles can leave a > π gap, putting the center OUTSIDE the
+    # polygon and breaking the scaled-copy containment premise
+    th = np.linspace(0.0, 2.0 * np.pi, n, endpoint=False) + rng.uniform(
+        0.0, 0.8, n
+    ) * (2.0 * np.pi / n)
     r = rng.uniform(0.5, 1.5, n)
     return cx, cy, cx + r * np.cos(th), cy + r * np.sin(th)
 
