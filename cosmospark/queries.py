@@ -745,6 +745,70 @@ ORDER BY osm_id
 """
 
 
+def q_geo_voronoi_cells(spark, sf_dir):
+    """J7 through the real operator on a CONCAVE parent
+    (additional_zones.rs:256-416): an L-shaped city zone (area 64) with
+    three suburb place nodes → compute_additional_places generates each
+    place's Voronoi cell clipped exactly to the L (r3 concave-exact
+    path: hull ∩ bisectors, minus hull∖parent). Cell areas are computed
+    by a JVM-side shoelace fold over the returned rings; the oracle is
+    the CLOSED-FORM hand calculation (bisectors x=5, y=5, y=x →
+    24 / 20 / 20, summing to the parent's 64)."""
+    lx = [0.0, 10.0, 10.0, 4.0, 4.0, 0.0]
+    ly = [0.0, 0.0, 4.0, 4.0, 10.0, 10.0]
+    parent = {
+        "id": 0,
+        "osm_id": "relation:900",
+        "name": "Elle",
+        "zone_type": "city",
+        "parent": None,
+        "rings": [{"poly": 0, "ring": 0, "xs": lx, "ys": ly}],
+    }
+    zones = spark.createDataFrame(
+        [parent],
+        "id long, osm_id string, name string, zone_type string, "
+        "parent long, rings array<struct<poly:int,ring:int,"
+        "xs:array<double>,ys:array<double>>>",
+    )
+    places = spark.createDataFrame(
+        [
+            ("node:1", "P22", "suburb", None, 2.0, 2.0, {}),
+            ("node:2", "P82", "suburb", None, 8.0, 2.0, {}),
+            ("node:3", "P28", "suburb", None, 2.0, 8.0, {}),
+        ],
+        "osm_id string, name string, zone_type string, admin_level int, "
+        "lon double, lat double, tags map<string,string>",
+    )
+    from cosmospark.voronoi import compute_additional_places
+
+    new = compute_additional_places(zones, places)
+    # shoelace area per ring (1-based element_at; rings close implicitly),
+    # exteriors add, holes subtract — all JVM-side HOF folds
+    ring_area = (
+        "0.5D * abs(aggregate(sequence(0, size(r.xs) - 1), 0D, (a, i) -> "
+        "a + element_at(r.xs, i + 1) * element_at(r.ys, pmod(i + 1, size(r.ys)) + 1) "
+        "- element_at(r.xs, pmod(i + 1, size(r.xs)) + 1) * element_at(r.ys, i + 1)))"
+    )
+    area = (
+        f"aggregate(rings, 0D, (acc, r) -> acc + "
+        f"(case when r.ring = 0 then {ring_area} else -{ring_area} end))"
+    )
+    return new.select(
+        "name",
+        F.col("parent").alias("parent_id"),
+        F.round(F.expr(area), 4).alias("cell_area"),
+    ).orderBy("name")
+
+
+SQL_GEO_VORONOI = """
+SELECT * FROM (VALUES
+  ('P22', CAST(0 AS BIGINT), CAST(24.0 AS DOUBLE)),
+  ('P28', CAST(0 AS BIGINT), CAST(20.0 AS DOUBLE)),
+  ('P82', CAST(0 AS BIGINT), CAST(20.0 AS DOUBLE))
+) AS t(name, parent_id, cell_area) ORDER BY name
+"""
+
+
 def q_events_window(spark, sf_dir):
     """Time-windowed aggregation over the events stream table: per
     (event_type, day) counts + exact cent sums."""
@@ -2159,6 +2223,7 @@ def queries() -> dict:
         "geo_zone_type": q_geo_zone_type,
         "geo_full_labels": q_geo_full_labels,
         "geo_osm_extract": q_geo_osm_extract,
+        "geo_voronoi_cells": q_geo_voronoi_cells,
         "events_window": q_events_window,
         "lang_id": q_lang_id,
         "ann_lsh": q_ann_lsh,
@@ -2226,6 +2291,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "geo_zone_type": sql_geo_zone_type(),
         "geo_full_labels": sql_geo_full_labels(),
         "geo_osm_extract": sql_geo_osm_extract(),
+        "geo_voronoi_cells": SQL_GEO_VORONOI,
         "events_window": SQL_EVENTS_WINDOW,
         "lang_id": sql_lang_id(),
         "ann_lsh": sql_ann_lsh(_emb_dim(sf_dir)),

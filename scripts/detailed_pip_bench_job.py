@@ -57,7 +57,11 @@ def main() -> None:
             .collect()[0]
         )
 
-    job(args.rows)  # full-size warmup → steady-state measurement
+    # bounded warmup: enough rows to JIT the JVM pipeline and spawn the
+    # python daemons; a full-size warmup would double the harness cost
+    # at the shard sizes that amortize the per-run fixed overhead
+    # (driver index build + broadcast ≈ 7-8 s) below 10%
+    job(min(args.rows, 400_000))
     t0 = time.time()
     r = job(args.rows)
     wall = time.time() - t0

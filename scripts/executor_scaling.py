@@ -23,7 +23,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def run_fleet(n_exec: int, total_rows: int, zip_path: str, cpus_per_exec: int = 2) -> dict:
+def run_fleet(
+    n_exec: int,
+    total_rows: int,
+    zip_path: str,
+    cpus_per_exec: int = 2,
+    vertices: int = 2048,
+) -> dict:
     """One executor = 1 task core + 1 overhead core (JVM GC/JIT/Arrow),
     matching a real executor's cores-per-slot provisioning."""
     shard = total_rows // n_exec
@@ -43,6 +49,7 @@ def run_fleet(n_exec: int, total_rows: int, zip_path: str, cpus_per_exec: int = 
             os.path.join(REPO, "scripts", "detailed_pip_bench_job.py"),
             "--rows", str(shard),
             "--start", str(k * shard),
+            "--vertices", str(vertices),
         ]
         procs.append(subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True, env=env))
     results = []
@@ -77,10 +84,20 @@ def main() -> None:
                         full = os.path.join(root, f)
                         zf.write(full, os.path.relpath(full, REPO))
 
-    r2 = run_fleet(2, total, zip_path)
-    r8 = run_fleet(8, total, zip_path)
+    vertices = int(os.environ.get("COSMOSPARK_EXEC_VERTICES", "2048"))
+    r2 = run_fleet(2, total, zip_path, vertices=vertices)
+    r8 = run_fleet(8, total, zip_path, vertices=vertices)
     eff = r8["images_per_sec"] / r2["images_per_sec"] / 4.0
-    print(json.dumps({"n2": r2, "n8": r8, "efficiency_n_to_4n": round(eff, 3)}))
+    print(
+        json.dumps(
+            {
+                "vertices": vertices,
+                "n2": r2,
+                "n8": r8,
+                "efficiency_n_to_4n": round(eff, 3),
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
