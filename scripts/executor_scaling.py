@@ -71,7 +71,12 @@ def run_fleet(
 
 
 def main() -> None:
-    total = int(os.environ.get("COSMOSPARK_EXEC_ROWS", "1000000"))
+    # default sized so the per-run FIXED cost (driver zone-index build +
+    # broadcast, ~5-18 s) is < 10% of the 4N fleet's wall — smaller
+    # totals read as fake inefficiency (Amdahl on the fixed cost, NOT
+    # engine scaling: measured 26.4k rows/s/exec at 2M-row shards vs
+    # 32.4k at 4M vs a flat ~36k kernel rate)
+    total = int(os.environ.get("COSMOSPARK_EXEC_ROWS", "32000000"))
     zip_path = "/tmp/cosmospark_pyfiles.zip"
     if not os.path.exists(zip_path):
         import zipfile
