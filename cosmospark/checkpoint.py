@@ -110,6 +110,32 @@ def run_stage(spark: SparkSession, root: str | None, stage: str, fn) -> DataFram
     return read_stage(spark, root, stage)
 
 
+def compact_stage(
+    spark: SparkSession,
+    root: str,
+    stage: str,
+    target_bytes: int = 128 << 20,
+) -> dict:
+    """Rewrite a committed stage's parquet into ~``target_bytes`` files
+    (small-file compaction — the lake maintenance a 10^12-row table
+    needs after incremental/streaming appends: thousands of KB-scale
+    part files wreck scan planning and footer IO). File count is sized
+    from the CURRENT on-disk bytes; the rewrite reuses the same
+    crash-safe rename commit as write_stage, and the manifest's
+    fingerprint is carried over so downstream fingerprint-gated resumes
+    stay valid (compaction changes layout, not content)."""
+    m = read_manifest(root, stage)
+    total_bytes = sum(f["bytes"] for f in m["files"])
+    n_files = max(1, -(-total_bytes // target_bytes))  # ceil
+    df = read_stage(spark, root, stage).coalesce(n_files)
+    out = write_stage(df, root, stage, fingerprint=m.get("fingerprint"))
+    if out["n_rows"] != m["n_rows"]:  # paranoia: compaction must not drop rows
+        raise RuntimeError(
+            f"compaction row-count drift: {m['n_rows']} -> {out['n_rows']}"
+        )
+    return out
+
+
 def run_stage_fp(
     spark: SparkSession, root: str | None, stage: str, fingerprint: str | None, fn
 ) -> DataFrame:

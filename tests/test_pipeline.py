@@ -259,3 +259,33 @@ class TestFingerprintCascade:
         shutil.rmtree(f"{root}/typed")
         build_zones(spark, raw, rules, checkpoint_root=root).count()
         assert ckpt.read_manifest(root, "labelled")["committed_at"] > lab_before
+
+
+class TestCompaction:
+    def test_compact_stage_preserves_content_and_fingerprint(self, spark, tmp_path):
+        from cosmospark import checkpoint as ckpt
+
+        root = str(tmp_path / "ck3")
+        # fragmented stage: 16 part files of a 10k-row table
+        df = spark.range(10_000).repartition(16).withColumnRenamed("id", "x")
+        ckpt.write_stage(df, root, "frag", fingerprint="fp-1")
+        before = ckpt.read_manifest(root, "frag")
+        assert before["n_files"] >= 16
+
+        out = ckpt.compact_stage(spark, root, "frag", target_bytes=1 << 30)
+        assert out["n_files"] == 1  # everything fits one target file
+        assert out["n_rows"] == 10_000
+        assert out["fingerprint"] == "fp-1"  # resume point stays valid
+        got = sorted(r["x"] for r in ckpt.read_stage(spark, root, "frag").collect())
+        assert got == list(range(10_000))
+
+    def test_compact_respects_target_size(self, spark, tmp_path):
+        from cosmospark import checkpoint as ckpt
+
+        root = str(tmp_path / "ck4")
+        df = spark.range(50_000).repartition(20).withColumnRenamed("id", "x")
+        ckpt.write_stage(df, root, "s", fingerprint=None)
+        total = sum(f["bytes"] for f in ckpt.read_manifest(root, "s")["files"])
+        out = ckpt.compact_stage(spark, root, "s", target_bytes=total // 4)
+        assert 2 <= out["n_files"] <= 6  # ~4 target-sized files
+        assert out["n_rows"] == 50_000
