@@ -64,6 +64,7 @@ def cmd_generate(args) -> int:
         out = build_zones_from_pbf(
             spark, args.input, rules,
             enable_voronoi=not args.disable_voronoi,
+            snapshot_dir=args.osm_snapshot,
             **common,
         )
     else:
@@ -94,6 +95,20 @@ def cmd_generate(args) -> int:
     stats_doc = {**compute_stats(result), **typing_counters}
     write_zones(result, args.output, osm_filename=args.input, stats=stats_doc)
     print(json.dumps(stats_doc), file=sys.stderr)
+    spark.stop()
+    return 0
+
+
+def cmd_compact(args) -> int:
+    from cosmospark import checkpoint as ckpt
+    from cosmospark.session import get_spark
+
+    spark = get_spark(app_name="cosmospark-compact")
+    spark.sparkContext.setLogLevel("ERROR")
+    m = ckpt.compact_stage(
+        spark, args.root, args.stage, target_bytes=args.target_mb << 20
+    )
+    print(json.dumps({"stage": args.stage, "n_files": m["n_files"], "n_rows": m["n_rows"]}), file=sys.stderr)
     spark.stop()
     return 0
 
@@ -138,6 +153,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     g.add_argument("--checkpoint", default=None, help="stage checkpoint dir (resume support)")
     g.add_argument(
+        "--osm-snapshot",
+        default=None,
+        help="materialize the one-pass PBF union scan as parquet here "
+        "(decode the .osm.pbf exactly once; downstream tables become "
+        "column-pruned parquet reads)",
+    )
+    g.add_argument(
         "--num-threads",
         type=int,
         default=None,
@@ -145,6 +167,12 @@ def main(argv: list[str] | None = None) -> int:
         "src/bin/cosmogony.rs:77-84; on a cluster use spark-submit conf)",
     )
     g.set_defaults(fn=cmd_generate)
+
+    c = sub.add_parser("compact", help="rewrite a checkpoint stage into target-size parquet files")
+    c.add_argument("root", help="checkpoint root dir")
+    c.add_argument("stage", help="stage name under the root")
+    c.add_argument("--target-mb", type=int, default=128)
+    c.set_defaults(fn=cmd_compact)
 
     m = sub.add_parser("merge", help="concat shards with dense-id re-offsetting")
     m.add_argument("inputs", nargs="+")

@@ -560,12 +560,19 @@ def read_osm_pbf(
     }
 
 
-def build_zones_from_pbf(spark: SparkSession, path: str, rules, **kwargs) -> DataFrame:
+def build_zones_from_pbf(
+    spark: SparkSession,
+    path: str,
+    rules,
+    snapshot_dir: str | None = None,
+    **kwargs,
+) -> DataFrame:
     """The reference's exact front door: ``generate -i file.osm.pbf``
-    (src/bin/cosmogony.rs) over our distributed PBF scan."""
+    (src/bin/cosmogony.rs) over our distributed PBF scan.
+    ``snapshot_dir`` materializes the one-pass union scan as parquet."""
     from cosmospark.pipeline import build_zones_from_osm
 
-    t = read_osm_pbf(spark, path)
+    t = read_osm_pbf(spark, path, snapshot_dir=snapshot_dir)
     return build_zones_from_osm(
         spark,
         t["relations"],
