@@ -20,6 +20,8 @@ import sys
 
 
 def _load_rules(spark, path: str | None):
+    import os
+
     from cosmospark.typer import make_rules
 
     if path is None:
@@ -27,6 +29,12 @@ def _load_rules(spark, path: str | None):
         from cosmospark.fixtures import LUX_RULES_LEVELS
 
         return make_rules(spark, LUX_RULES_LEVELS)
+    if os.path.isdir(path):
+        # a libpostal boundaries/osm folder of <cc>.yaml files — the
+        # reference's embedded rule source (src/zone_typer.rs:162-189)
+        from cosmospark.typer import load_libpostal_rules
+
+        return load_libpostal_rules(spark, path)
     with open(path) as fh:
         spec = json.load(fh)
     return make_rules(

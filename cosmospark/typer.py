@@ -57,6 +57,157 @@ RULES_CONTAINED_SCHEMA = T.StructType(
 )
 
 
+# ---------------------------------------------------------------------------
+# libpostal YAML rule source (S8): the reference embeds 242 country rule
+# files `libpostal/resources/boundaries/osm/<cc>.yaml` at compile time
+# (src/zone_typer.rs:14,162-192) with the schema
+#
+#     ---
+#     admin_level:
+#         "2": "country"
+#         "9": "suburb"
+#     overrides:
+#         contained_by:
+#             relation:
+#                 "407489":
+#                     admin_level:
+#                         "9": "city_district"
+#         id:
+#             relation:
+#                 "1803923": "city_district"
+#                 "42": null        # explicitly untyped
+#
+# No YAML library ships in this environment, so a from-scratch parser of
+# exactly this subset (nested mappings, quoted/bare scalars, null,
+# comments) loads the same files into the three rule tables. The
+# sandbox's reference checkout has an empty libpostal submodule, so
+# tests drive the loader with the reference's own unit-test documents
+# (zone_typer.rs:247-331) — pointed at the real folder it loads all 242
+# unchanged.
+
+
+def _strip_comment(line: str) -> str:
+    out = []
+    quote = None
+    for ch in line:
+        if quote:
+            out.append(ch)
+            if ch == quote:
+                quote = None
+        elif ch in "\"'":
+            quote = ch
+            out.append(ch)
+        elif ch == "#":
+            break
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def _yaml_scalar(tok: str):
+    tok = tok.strip()
+    if tok in ("null", "~", "Null", "NULL", ""):
+        return None
+    if len(tok) >= 2 and tok[0] == tok[-1] and tok[0] in "\"'":
+        return tok[1:-1]
+    return tok
+
+
+def parse_mini_yaml(text: str) -> dict:
+    """Parse the libpostal-rules YAML subset: nested mappings only,
+    scalar string/null values, comments, optional leading ``---``.
+    Raises ValueError on non-mapping lines (parity with serde_yaml
+    rejecting malformed files, zone_typer.rs:277-293)."""
+    root: dict = {}
+    stack: list[tuple[int, dict]] = [(-1, root)]
+    for raw in text.splitlines():
+        line = _strip_comment(raw).rstrip()
+        stripped = line.strip()
+        if not stripped or stripped == "---":
+            continue
+        indent = len(line) - len(line.lstrip(" "))
+        if "\t" in line[:indent]:
+            raise ValueError(f"tab indentation not allowed: {raw!r}")
+        key_part, sep, val_part = stripped.partition(":")
+        if not sep:
+            raise ValueError(f"not a mapping line: {raw!r}")
+        key = _yaml_scalar(key_part)
+        if key is None:
+            raise ValueError(f"null mapping key: {raw!r}")
+        while len(stack) > 1 and indent <= stack[-1][0]:
+            stack.pop()
+        parent = stack[-1][1]
+        if val_part.strip() == "":
+            node: dict = {}
+            parent[key] = node
+            stack.append((indent, node))
+        else:
+            parent[key] = _yaml_scalar(val_part)
+    return root
+
+
+def parse_libpostal_yaml(country: str, text: str) -> tuple[list, list, list]:
+    """One country file → (levels, id_overrides, contained_by) tuples in
+    the make_rules shape. ValueError on schema violations (the serde
+    parity: a map where a scalar type name is required, e.g. the
+    mis-indented document of zone_typer.rs:277-293)."""
+    doc = parse_mini_yaml(text)
+    cc = country.upper()
+    levels = []
+    for lvl, zt in (doc.get("admin_level") or {}).items():
+        if not isinstance(zt, str):
+            raise ValueError(
+                f"{country}: admin_level[{lvl!r}] must be a zone type string, got {zt!r}"
+            )
+        levels.append((cc, str(lvl), zt))
+    ovr = doc.get("overrides") or {}
+    id_rules = []
+    for otype, m in (ovr.get("id") or {}).items():
+        for oid, zt in m.items():
+            if zt is not None and not isinstance(zt, str):
+                raise ValueError(f"{country}: id override {oid!r} must be scalar")
+            id_rules.append((cc, f"{otype}:{oid}", zt))  # None = explicitly untyped
+    contained = []
+    for otype, m in (ovr.get("contained_by") or {}).items():
+        for oid, sub in m.items():
+            if not isinstance(sub, dict):
+                raise ValueError(f"{country}: contained_by {oid!r} must be a rule map")
+            for lvl, zt in (sub.get("admin_level") or {}).items():
+                if not isinstance(zt, str):
+                    raise ValueError(
+                        f"{country}: contained_by {oid!r} admin_level[{lvl!r}] must be scalar"
+                    )
+                contained.append((cc, f"{otype}:{oid}", str(lvl), zt))
+    return levels, id_rules, contained
+
+
+def load_libpostal_rules(spark: SparkSession, folder: str) -> dict[str, DataFrame]:
+    """Load a libpostal ``boundaries/osm`` folder of ``<cc>.yaml`` files
+    into the rule tables (read_libpostal_yaml_folder parity,
+    zone_typer.rs:162-189: unparseable files are skipped with a
+    warning, the country code comes from the file stem, uppercased)."""
+    import os
+    import warnings
+
+    levels: list = []
+    id_rules: list = []
+    contained: list = []
+    for name in sorted(os.listdir(folder)):
+        if not (name.endswith(".yaml") or name.endswith(".yml")):
+            continue
+        cc = os.path.splitext(name)[0]
+        try:
+            with open(os.path.join(folder, name), encoding="utf-8") as fh:
+                lv, ids, cb = parse_libpostal_yaml(cc, fh.read())
+        except ValueError as e:
+            warnings.warn(f"skipping rules file {name}: {e}", stacklevel=2)
+            continue
+        levels.extend(lv)
+        id_rules.extend(ids)
+        contained.extend(cb)
+    return make_rules(spark, levels, id_rules, contained)
+
+
 def make_rules(
     spark: SparkSession,
     levels: list[tuple],

@@ -106,3 +106,129 @@ class TestCountryFinder:
         assert got["relation:gb"] == "GB"
         # the ruleless ISO zone gets no country (not even itself)
         assert got["relation:norule"] is None
+
+
+class TestLibpostalYaml:
+    """The reference's own YAML unit-test documents
+    (src/zone_typer.rs:247-331) through our from-scratch parser."""
+
+    BASIC = '''---
+    admin_level:
+        "3": "country"
+        "7": "state"
+        "8": "city"
+        "5": "city_district"
+'''
+
+    KO = '''---
+    admin_level:
+        "3": "country"
+        "7": "state"
+        "8": "city"
+
+        overrides:
+            contained_by:
+                relation:
+                    "5829526":
+                        admin_level:
+                            "10": "suburb"
+'''
+
+    CONTAINED = '''---
+    admin_level:
+        "2": "country"
+        "4": "state"
+        "5": "state_district"
+        "6": "state_district"
+        "8": "city"
+        "9": "suburb"
+
+    overrides:
+        contained_by:
+            relation:
+                # Luxembourg City
+                "407489":
+                    admin_level:
+                        "9": "city_district"
+'''
+
+    ID_OVERRIDES = '''---
+    admin_level:
+        "2": "country"
+        "8": "city"
+
+    overrides:
+        id:
+            relation:
+                "1803923": "city_district"
+                "42": null # it is a way in libpostal to remove a zone from being typed
+'''
+
+    def test_basic(self):
+        from cosmospark.typer import parse_libpostal_yaml
+
+        levels, ids, contained = parse_libpostal_yaml("lu", self.BASIC)
+        assert ("LU", "3", "country") in levels
+        assert ("LU", "5", "city_district") in levels
+        assert ids == [] and contained == []
+
+    def test_invalid_indent_rejected(self):
+        # zone_typer.rs:277-293: 'overrides' mis-indented INSIDE the
+        # admin_level map → its value is a nested map where a zone-type
+        # string is required → error (file skipped by the folder loader)
+        from cosmospark.typer import parse_libpostal_yaml
+
+        with pytest.raises(ValueError):
+            parse_libpostal_yaml("xx", self.KO)
+
+    def test_contained_by(self):
+        from cosmospark.typer import parse_libpostal_yaml
+
+        levels, ids, contained = parse_libpostal_yaml("lu", self.CONTAINED)
+        assert ("LU", "2", "country") in levels
+        assert ("LU", "relation:407489", "9", "city_district") in contained
+
+    def test_id_overrides_with_explicit_null(self):
+        from cosmospark.typer import parse_libpostal_yaml
+
+        levels, ids, contained = parse_libpostal_yaml("lu", self.ID_OVERRIDES)
+        assert ("LU", "relation:1803923", "city_district") in ids
+        assert ("LU", "relation:42", None) in ids
+
+    def test_folder_loader_end_to_end(self, spark, tmp_path):
+        # <cc>.yaml files → rule tables → type_zones applies them; a
+        # malformed file is skipped with a warning (zone_typer.rs:165-173)
+        import warnings
+
+        from cosmospark.typer import load_libpostal_rules, type_zones
+
+        (tmp_path / "lu.yaml").write_text(self.ID_OVERRIDES)
+        (tmp_path / "fr.yaml").write_text(self.BASIC.replace('"3"', '"2"'))
+        (tmp_path / "bad.yaml").write_text("not yaml at all\n[weird")
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            rules = load_libpostal_rules(spark, str(tmp_path))
+        assert any("bad.yaml" in str(x.message) for x in w)
+        got = {
+            (r["country"], r["admin_level"]): r["zone_type"]
+            for r in rules["levels"].collect()
+        }
+        assert got[("LU", "2")] == "country" and got[("FR", "2")] == "country"
+
+        zones = spark.createDataFrame(
+            [
+                (0, "relation:1", 2, {"ISO3166-1:alpha2": "LU"}, "Lux"),
+                (1, "relation:1803923", 8, {}, "Overridden"),
+                (2, "relation:42", 8, {}, "Explicitly untyped"),
+                (3, "relation:9", 8, {}, "Default city"),
+            ],
+            "id long, osm_id string, admin_level int, tags map<string,string>, name string",
+        ).withColumn("country_code", F.lit("LU"))
+        inclusions = spark.createDataFrame([], "child long, parent long")
+        typed = {
+            r["osm_id"]: r["zone_type"]
+            for r in type_zones(zones, inclusions, rules).collect()
+        }
+        assert typed["relation:1803923"] == "city_district"  # id override
+        assert typed["relation:42"] is None  # explicit null wins over default
+        assert typed["relation:9"] == "city"  # country default map
