@@ -1034,6 +1034,41 @@ FROM documents ORDER BY doc_id
 """
 
 
+# GPT-2-style pretokenization (ASCII subset, identical under Java regex
+# and RE2): contraction suffixes, space-prefixed letter runs, digit runs,
+# punctuation runs.
+_BPE_PAT = "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+
+
+def q_bpe_tokens(spark, sf_dir):
+    """BPE-ish token counting: pretokenize with a GPT-2-style regex, then
+    charge each pretoken ceil(len/4) subword units (a fixed merge budget
+    standing in for a learned vocab — deterministic, engine-portable).
+    One regex pass + one fold per row, all JVM-side built-ins."""
+    d = _t(spark, sf_dir, "documents")
+    toks = f'regexp_extract_all(text, "{_BPE_PAT}", 0)'
+    return d.select(
+        "doc_id",
+        F.expr(f"cast(size({toks}) as bigint)").alias("n_bpe_tokens"),
+        F.expr(
+            f"aggregate({toks}, 0L,"
+            f" (acc, t) -> acc + cast(ceil(length(trim(t)) / 4.0) as bigint))"
+        ).alias("n_subword_units"),
+    ).orderBy("doc_id")
+
+
+SQL_BPE_TOKENS = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_BPE_PAT.replace("'", "''")}', 0)) AS BIGINT)
+           AS n_bpe_tokens,
+       CAST(COALESCE(list_sum(list_transform(
+                regexp_extract_all(text, '{_BPE_PAT.replace("'", "''")}', 0),
+                t -> CAST(ceil(length(trim(t)) / 4.0) AS BIGINT))), 0) AS BIGINT)
+           AS n_subword_units
+FROM documents ORDER BY doc_id
+"""
+
+
 _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
 
@@ -2230,6 +2265,7 @@ def queries() -> dict:
         "ann_lsh_multi": q_ann_lsh_multi,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
+        "bpe_tokens": q_bpe_tokens,
         "quality_score": q_quality_score,
         "ngram_jaccard": q_ngram_jaccard,
         "doc_fingerprint": q_doc_fingerprint,
@@ -2306,6 +2342,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "embedding_neardup": SQL_EMB_NEARDUP,
         "dedup_exact": SQL_DEDUP,
         "token_count": SQL_TOKENS,
+        "bpe_tokens": SQL_BPE_TOKENS,
         "quality_score": sql_quality_score(),
         "ngram_jaccard": SQL_JACCARD,
         "doc_fingerprint": SQL_FINGERPRINT,

@@ -1,0 +1,62 @@
+"""BPE-ish tokenizer branch coverage: the sf fixtures are plain
+lowercase word soup, so every non-letter branch of the GPT-2-style
+pretokenizer regex (contractions, digit runs, punctuation runs) is
+exercised here on crafted strings, with Spark↔DuckDB parity asserted
+(the oracle-parity sweep only sees the fixture data)."""
+
+import duckdb
+import pandas as pd
+import pyspark.sql.functions as F
+
+from cosmospark.queries import SQL_BPE_TOKENS, _BPE_PAT
+
+ROWS = [
+    (0, "it's a test, don't you think? 42 times!"),
+    (1, "hello   world"),
+    (2, ""),
+    (3, "we're they'll i'd 3.14"),
+    (4, "antidisestablishmentarianism ok"),
+]
+
+
+def _spark_counts(spark, pdf):
+    toks = f'regexp_extract_all(text, "{_BPE_PAT}", 0)'
+    return (
+        spark.createDataFrame(pdf)
+        .select(
+            "doc_id",
+            F.expr(f"cast(size({toks}) as bigint)").alias("n_bpe_tokens"),
+            F.expr(
+                f"aggregate({toks}, 0L,"
+                f" (acc, t) -> acc + cast(ceil(length(trim(t)) / 4.0) as bigint))"
+            ).alias("n_subword_units"),
+            F.expr(toks).alias("toks"),
+        )
+        .orderBy("doc_id")
+        .toPandas()
+    )
+
+
+def test_bpe_pretokenizer_branches(spark):
+    pdf = pd.DataFrame(ROWS, columns=["doc_id", "text"])
+    got = _spark_counts(spark, pdf)
+    # contraction suffixes split off; punctuation and digit runs are
+    # their own tokens; runs of spaces collapse into the next token
+    assert list(got["toks"][0]) == [
+        "it", "'s", " a", " test", ",", " don", "'t", " you",
+        " think", "?", " 42", " times", "!",
+    ]
+    assert list(got["toks"][2]) == []
+    # 28-letter word → ceil(28/4) = 7 subword units
+    assert got["n_subword_units"][4] == 7 + 1
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    ora = con.execute(SQL_BPE_TOKENS).df().astype(
+        {"n_bpe_tokens": "int64", "n_subword_units": "int64"}
+    )
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "n_bpe_tokens", "n_subword_units"]],
+        ora,
+        check_dtype=False,
+    )
