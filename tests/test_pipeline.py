@@ -289,3 +289,15 @@ class TestCompaction:
         out = ckpt.compact_stage(spark, root, "s", target_bytes=total // 4)
         assert 2 <= out["n_files"] <= 6  # ~4 target-sized files
         assert out["n_rows"] == 50_000
+
+
+def test_merge_cli_rejects_non_jsonl_inputs(capsys):
+    """The reference merge is streaming-only (src/merger.rs:64-67): it
+    refuses whole-doc JSON on input shards as well as the output. The
+    format check runs before any Spark session is started."""
+    from cosmospark.__main__ import main
+
+    assert main(["merge", "a.json", "b.jsonl", "-o", "out.jsonl"]) == 2
+    assert "a.json" in capsys.readouterr().err
+    assert main(["merge", "a.jsonl", "-o", "out.json.gz"]) == 2
+    assert "out.json.gz" in capsys.readouterr().err
