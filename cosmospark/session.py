@@ -39,7 +39,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("COSMOSPARK_DRIVER_MEM", "8g"))
+        # local mode runs driver+executors in ONE JVM: size the heap for
+        # the box (128 GiB here), not for a cluster driver — an 8g heap
+        # at local[32] GC-thrashes and per-query bench times swing 3-5×
+        # with heap state. On a real cluster spark-submit overrides this.
+        .config("spark.driver.memory", os.environ.get("COSMOSPARK_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
