@@ -433,7 +433,13 @@ def assign_zones_partitioned(
         # applies rather than the broadcast path's auto budget
         index_max_cells = INDEX_MAX_CELLS
     zcells = _zone_cells_with_full(zones, index_max_cells).cache()
-    res_list = sorted(r["res"] for r in zcells.select("res").distinct().collect())
+    # one tiny agg gives the resolution list AND the cell count that
+    # sizes the key-only broadcasts below (geometry is NEVER broadcast
+    # on this path; 16-byte (res, cell) keys are a different budget)
+    res_stats = zcells.groupBy("res").count().collect()
+    res_list = sorted(r["res"] for r in res_stats)
+    n_zcells = sum(r["count"] for r in res_stats)
+    keys_small = n_zcells * 32 <= BROADCAST_BUDGET_BYTES
     if not res_list:
         out = points.withColumn("zone_id", F.lit(-1).cast("long"))
         return out
@@ -441,19 +447,18 @@ def assign_zones_partitioned(
     finest = max(res_list)
     pts = points.select(id_col, lon_col, lat_col)
 
-    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            lon = pdf[lon_col].to_numpy(dtype=np.float64)
-            lat = pdf[lat_col].to_numpy(dtype=np.float64)
-            base = cells.cell_encode(lon, lat, finest)
-            for r in res_list:
-                pdf[f"_c{r}"] = base >> (2 * (finest - r))
-            yield pdf
-
-    enc_schema = T.StructType(
-        pts.schema.fields + [T.StructField(f"_c{r}", T.LongType()) for r in res_list]
+    # pure-JVM multi-res encode: morton at the finest res (bit-identical
+    # to the numpy kernel — test_col_cell_encode_matches_numpy), coarser
+    # ids by prefix shift. Round 2 ran a mapInPandas here: a full extra
+    # Arrow round-trip of the fact table just to compute 6 longs.
+    enc = pts.withColumn(
+        f"_c{finest}",
+        cells.col_cell_encode(F.col(lon_col), F.col(lat_col), finest),
     )
-    enc = pts.mapInPandas(_encode, enc_schema)
+    for r in res_list[:-1]:
+        enc = enc.withColumn(
+            f"_c{r}", F.shiftright(F.col(f"_c{finest}"), 2 * (finest - r))
+        )
     res_struct = F.array(
         *[
             F.struct(F.lit(r).alias("res"), F.col(f"_c{r}").alias("cell"))
@@ -484,11 +489,8 @@ def assign_zones_partitioned(
         pids = pg[id_col].to_numpy()
         out_pid, out_zid, out_rank, out_area = [], [], [], []
         for zrow in zg.itertuples(index=False):
-            if zrow.full:
-                hit = np.ones(len(lon), dtype=bool)
-            else:
-                rr = geom.unpack_rings(zrow.rings_bin)
-                hit = geom.pip_covers(lon, lat, rr)
+            rr = geom.unpack_rings(zrow.rings_bin)
+            hit = geom.pip_covers(lon, lat, rr)
             idxs = np.nonzero(hit)[0]
             if len(idxs):
                 out_pid.extend(pids[idxs])
@@ -499,10 +501,37 @@ def assign_zones_partitioned(
             {"pid": out_pid, "zone_id": out_zid, "rank": out_rank, "area": out_area}
         )
 
+    def _maybe_bc(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if keys_small else df
+
+    # FULL cells (cell entirely inside the zone) need no geometry and no
+    # Python: a JVM equi-join on (res, cell) IS the containment proof.
+    # For hierarchy-shaped zone tables the coarse levels (country/state)
+    # mark most of their area FULL, so the bulk of the candidate volume
+    # resolves in whole-stage codegen and never crosses the Arrow
+    # boundary. The join side carries 4 scalars per cell — zone-dim cell
+    # scale — broadcast only under the key budget, shuffle join above it.
+    zfull = zcells.filter(F.col("full")).select(
+        "res", "cell", "zone_id", "rank", "area"
+    )
+    full_hits = pcells.join(_maybe_bc(zfull), ["res", "cell"]).select(
+        F.col(id_col).alias("pid"), "zone_id", "rank", "area"
+    )
+
+    # Boundary (non-FULL) cells go through the cogroup PIP refine — but
+    # only point rows whose (res, cell) actually has a boundary cell:
+    # the key-only semi-join drops the rest map-side, which also kills
+    # the ~N(point cells) empty python groups the round-2 cogroup paid
+    # for (every point cell with no zone at that res invoked the UDF).
+    zref = zcells.filter(~F.col("full"))
+    pref = pcells.join(
+        _maybe_bc(zref.select("res", "cell").distinct()), ["res", "cell"], "leftsemi"
+    )
     cand = (
-        pcells.groupBy("res", "cell")
-        .cogroup(zcells.groupBy("res", "cell"))
+        pref.groupBy("res", "cell")
+        .cogroup(zref.groupBy("res", "cell"))
         .applyInPandas(_pip_group, cand_schema)
+        .unionByName(full_hits)
     )
     winners = cand.groupBy("pid").agg(
         F.min_by("zone_id", F.struct(F.col("rank"), F.col("area"), F.col("zone_id"))).alias(

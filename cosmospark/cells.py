@@ -175,3 +175,39 @@ def sql_morton(x_expr: str, y_expr: str, res: int) -> str:
 def sql_cell_encode(lon_col: str, lat_col: str, res: int) -> str:
     x, y = sql_grid_xy(lon_col, lat_col, res)
     return sql_morton(x, y, res)
+
+
+def col_cell_encode(lon, lat, res: int):
+    """Spark Column version of ``cell_encode`` — pure JVM whole-stage
+    codegen, no Arrow round-trip. Bit-identical to the numpy kernel: the
+    grid math is +,-,*,/ and floor only (IEEE-exact in both runtimes),
+    and the Morton interleave uses the 32→64 bit-spread identity instead
+    of ``sql_morton``'s 2·res-term sum (same value, O(1) ops).
+
+    ``lon``/``lat`` are Columns; ``res`` ≤ MAX_RES (26 → x,y < 2^26,
+    within the 32-bit spread domain)."""
+    from pyspark.sql import functions as F
+
+    assert 0 < res <= MAX_RES
+    n = 1 << res
+    x = F.least(
+        F.greatest(F.floor((lon + 180.0) / 360.0 * n).cast("long"), F.lit(0)),
+        F.lit(n - 1),
+    )
+    y = F.least(
+        F.greatest(F.floor((lat + 90.0) / 180.0 * n).cast("long"), F.lit(0)),
+        F.lit(n - 1),
+    )
+
+    def spread(c):
+        for sh, m in (
+            (16, 0x0000FFFF0000FFFF),
+            (8, 0x00FF00FF00FF00FF),
+            (4, 0x0F0F0F0F0F0F0F0F),
+            (2, 0x3333333333333333),
+            (1, 0x5555555555555555),
+        ):
+            c = c.bitwiseOR(F.shiftleft(c, sh)).bitwiseAND(F.lit(m))
+        return c
+
+    return F.shiftleft(spread(x), 1).bitwiseOR(spread(y))

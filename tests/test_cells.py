@@ -86,3 +86,34 @@ class TestSqlParity:
         con.register("pts", __import__("pandas").DataFrame({"lon": lon, "lat": lat}))
         got = con.sql(f"select {expr} as c from pts").df()["c"].to_numpy()
         assert (got == expected).all()
+
+
+def test_col_cell_encode_matches_numpy(spark):
+    """The JVM Column encoder must be bit-identical to the numpy kernel
+    on random + edge coordinates at several resolutions (it feeds the
+    partitioned assignment path, which must agree with broadcast)."""
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from cosmospark import cells
+
+    rng = np.random.default_rng(42)
+    lon = np.concatenate(
+        [rng.uniform(-200, 200, 2000), [-180.0, 180.0, 0.0, -180.0001, 179.9999]]
+    )
+    lat = np.concatenate(
+        [rng.uniform(-100, 100, 2000), [-90.0, 90.0, 0.0, -90.0001, 89.9999]]
+    )
+    pdf = pd.DataFrame({"lon": lon, "lat": lat})
+    sdf = spark.createDataFrame(pdf)
+    for res in (1, 7, 12, 26):
+        want = cells.cell_encode(lon, lat, res)
+        got = (
+            sdf.select(
+                cells.col_cell_encode(F.col("lon"), F.col("lat"), res).alias("c")
+            )
+            .toPandas()["c"]
+            .to_numpy()
+        )
+        assert (got == want).all(), f"res={res}: {np.nonzero(got != want)[0][:5]}"
