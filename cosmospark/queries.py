@@ -1140,11 +1140,15 @@ def q_ngram_jaccard(spark, sf_dir, broadcast_budget_bytes: int | None = None):
         F.sum(F.length("text")).alias("b"), F.count("*").alias("n")
     ).collect()[0]
     tok_side_bytes = int(est["b"] or 0) + 64 * int(est["n"])
-    toks = d.select(
-        "doc_id",
-        "source",
-        F.array_distinct(F.split("text", " ")).alias("toks"),
-    ).withColumn("sz", F.size("toks"))
+    toks = (
+        d.select(
+            "doc_id",
+            "source",
+            F.array_distinct(F.split("text", " ")).alias("toks"),
+        )
+        .withColumn("sz", F.size("toks"))
+        .cache()  # feeds the inverted index AND both re-score sides
+    )
     w = toks.select("doc_id", "source", "sz", F.explode("toks").alias("w"))
     dfreq = w.groupBy("w").agg(F.count("*").alias("dfn"))
 
@@ -1162,8 +1166,21 @@ def q_ngram_jaccard(spark, sf_dir, broadcast_budget_bytes: int | None = None):
         w.join(F.broadcast(dfreq), "w")
         .withColumn("rn", F.row_number().over(win))
         .filter(F.col("rn") <= F.col("sz") - F.ceil(F.lit(_JACCARD_PF_T) * F.col("sz")) + 1)
-        .select("doc_id", "source", "w")
+        .select("doc_id", "source", "w", "rn", "sz")
         .cache()
+    )
+    # ppjoin-style EXACT pruning on top of the prefix join (both filters
+    # are implied by jac ≥ t, so recall stays exact; both evaluate in
+    # whole-stage codegen before the distinct shuffle):
+    #  * size filter: |∩| ≥ t·|∪| forces min(sz) ≥ t·max(sz)
+    #  * positional filter: overlap ≤ 1 + min(tokens after this
+    #    occurrence on each side); a true pair's FIRST shared prefix
+    #    token always passes, and distinct() keeps any surviving row.
+    # On low-entropy corpora (tiny vocabulary) the prefix filter alone
+    # barely prunes — these two carry the load there.
+    t = F.lit(JACCARD_T)
+    alpha = F.ceil(
+        t / (1.0 + t) * (F.col("a.sz") + F.col("b.sz"))
     )
     cand = (
         prefix.alias("a")
@@ -1171,7 +1188,18 @@ def q_ngram_jaccard(spark, sf_dir, broadcast_budget_bytes: int | None = None):
             prefix.alias("b"),
             (F.col("a.w") == F.col("b.w"))
             & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.least(F.col("a.sz"), F.col("b.sz"))
+                >= F.ceil(t * F.greatest(F.col("a.sz"), F.col("b.sz")))
+            )
+            & (
+                1
+                + F.least(
+                    F.col("a.sz") - F.col("a.rn"), F.col("b.sz") - F.col("b.rn")
+                )
+                >= alpha
+            ),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
