@@ -809,6 +809,48 @@ SELECT * FROM (VALUES
 """
 
 
+_RAST_RES, _RAST_PX = 6, 8
+
+
+def q_geo_rasterize(spark, sf_dir):
+    """Vector → raster tiling (the north-star raster leg): every typed
+    lux zone rasterized into per-cell pixel occupancy at res 6 with 8×8
+    pixels per cell — (zone_id, cell, inside-pixel count). Pixel centers
+    live on the uniform 512×512 sub-lattice, so the DuckDB oracle
+    re-derives the identical centers with +,*,/ only and counts them
+    with rectangle BETWEEN (fixture zones are rectangles)."""
+    from cosmospark.raster import rasterize_zones_cells
+
+    r = rasterize_zones_cells(_lux_typed_zones(spark), res=_RAST_RES, px=_RAST_PX)
+    return r.select("zone_id", "cell", "n_inside").orderBy("zone_id", "cell")
+
+
+def sql_geo_rasterize():
+    nf = (1 << _RAST_RES) * _RAST_PX
+    k = _RAST_PX.bit_length() - 1  # px = 2^k
+    cell = cells.sql_morton(f"(i >> {k})", f"(j >> {k})", _RAST_RES)
+    return f"""
+WITH zones AS (SELECT * FROM {_zones_values_sql()}),
+ij AS (
+  SELECT z.id AS zone_id, gi.i, gj.j, z.minx, z.maxx, z.miny, z.maxy
+  FROM zones z,
+  LATERAL (SELECT unnest(generate_series(
+      CAST(floor((z.minx + 180.0) / 360.0 * {nf}) AS BIGINT) - 1,
+      CAST(ceil((z.maxx + 180.0) / 360.0 * {nf}) AS BIGINT) + 1)) AS i) gi,
+  LATERAL (SELECT unnest(generate_series(
+      CAST(floor((z.miny + 90.0) / 180.0 * {nf}) AS BIGINT) - 1,
+      CAST(ceil((z.maxy + 90.0) / 180.0 * {nf}) AS BIGINT) + 1)) AS j) gj
+),
+hit AS (
+  SELECT zone_id, i, j FROM ij
+  WHERE (-180.0 + (i + 0.5) * 360.0 / {float(nf)!r}) BETWEEN minx AND maxx
+    AND (-90.0 + (j + 0.5) * 180.0 / {float(nf)!r}) BETWEEN miny AND maxy
+)
+SELECT zone_id, {cell} AS cell, CAST(COUNT(*) AS BIGINT) AS n_inside
+FROM hit GROUP BY zone_id, cell ORDER BY zone_id, cell
+"""
+
+
 def q_events_window(spark, sf_dir):
     """Time-windowed aggregation over the events stream table: per
     (event_type, day) counts + exact cent sums."""
@@ -2287,6 +2329,7 @@ def queries() -> dict:
         "geo_full_labels": q_geo_full_labels,
         "geo_osm_extract": q_geo_osm_extract,
         "geo_voronoi_cells": q_geo_voronoi_cells,
+        "geo_rasterize": q_geo_rasterize,
         "events_window": q_events_window,
         "lang_id": q_lang_id,
         "ann_lsh": q_ann_lsh,
@@ -2356,6 +2399,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "geo_full_labels": sql_geo_full_labels(),
         "geo_osm_extract": sql_geo_osm_extract(),
         "geo_voronoi_cells": SQL_GEO_VORONOI,
+        "geo_rasterize": sql_geo_rasterize(),
         "events_window": SQL_EVENTS_WINDOW,
         "lang_id": sql_lang_id(),
         "ann_lsh": sql_ann_lsh(_emb_dim(sf_dir)),

@@ -1,0 +1,110 @@
+"""Raster ↔ vector tiling invariants: mask coverage vs polygon area,
+FULL-cell all-ones masks, mercator-tile variant, and the exact
+raster→vector→raster round trip."""
+
+import numpy as np
+import pytest
+
+from cosmospark import cells, geom
+from cosmospark.raster import (
+    boxes_to_mask,
+    mask_to_boxes,
+    rasterize_zones_cells,
+    rasterize_zones_tiles,
+    unpack_mask,
+)
+
+
+@pytest.fixture(scope="module")
+def rect_zone_df(spark):
+    from cosmospark.ztypes import ZONES_RAW_SCHEMA
+
+    # one 45°×45° square aligned to the res-3 grid: cells strictly
+    # inside are FULL, the boundary only touches cell edges
+    ring = {
+        "poly": 0,
+        "ring": 0,
+        "xs": [0.0, 90.0, 90.0, 0.0, 0.0],
+        "ys": [0.0, 0.0, 45.0, 45.0, 0.0],
+    }
+    row = {
+        "id": 7,
+        "osm_id": "relation:7",
+        "admin_level": 2,
+        "zone_type": "country",
+        "name": "R",
+        "tags": {},
+        "center_tags": {},
+        "center": {"lon": 45.0, "lat": 22.5},
+        "rings": [ring],
+        "bbox": {"minx": 0.0, "miny": 0.0, "maxx": 90.0, "maxy": 45.0},
+        "is_generated": False,
+    }
+    return spark.createDataFrame([row], schema=ZONES_RAW_SCHEMA)
+
+
+def test_rasterize_cells_area_and_full(rect_zone_df):
+    px = 8
+    res = 4
+    out = rasterize_zones_cells(rect_zone_df, res=res, px=px).collect()
+    # res 4 → 22.5°(lon)/11.25°(lat) cells; the [0,90]×[0,45] rect spans
+    # exactly 4×4 grid-aligned cells, every one entirely covered
+    assert len(out) == 16
+    total = sum(r["n_inside"] for r in out)
+    assert total == 16 * px * px
+    for r in out:
+        assert unpack_mask(bytes(r["mask"]), px).all()
+    # coverage-weighted pixel area == polygon area (grid-aligned rect)
+    n = 1 << res
+    pixel_area = (360.0 / (n * px)) * (180.0 / (n * px))
+    rect = [
+        (
+            0,
+            0,
+            np.array([0.0, 90.0, 90.0, 0.0, 0.0]),
+            np.array([0.0, 0.0, 45.0, 45.0, 0.0]),
+        )
+    ]
+    assert total * pixel_area == pytest.approx(geom.area(rect), rel=1e-12)
+
+
+def test_rasterize_partial_cells(spark, rect_zone_df):
+    # res 2 → 90°×45° cells: the rect covers exactly ONE full cell at
+    # (x=2,y=2) [0..90 lon, 0..45 lat]
+    out = rasterize_zones_cells(rect_zone_df, res=2, px=8).collect()
+    assert len(out) == 1
+    assert out[0]["n_inside"] == 64
+    cx, cy = cells.morton_deinterleave(np.array([out[0]["cell"]]), 2)
+    assert (cx[0], cy[0]) == (2, 2)
+
+
+def test_rasterize_tiles_mercator(rect_zone_df):
+    z, px = 3, 16
+    out = rasterize_zones_tiles(rect_zone_df, z=z, px=px).collect()
+    assert out, "no tiles covered"
+    for r in out:
+        tz, tx, ty = cells.tile_decode(r["tile_id"])
+        assert tz == z
+        m = unpack_mask(bytes(r["mask"]), px)
+        assert m.sum() == r["n_inside"] > 0
+        # every set pixel's center must be inside the rect: re-derive
+        # centers the same way the rasterizer does and check bounds
+        n = 1 << z
+        rr, cc = np.nonzero(m)  # row = y (mercator), col = x (lon)
+        lon = -180.0 + (tx * px + cc + 0.5) * 360.0 / (n * px)
+        yf = (ty * px + rr + 0.5) / (n * px)
+        lat = np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * yf))))
+        assert ((lon >= 0.0) & (lon <= 90.0) & (lat >= 0.0) & (lat <= 45.0)).all()
+
+
+def test_mask_box_roundtrip():
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        px = 16
+        m = rng.random((px, px)) < 0.35
+        packed = np.packbits(m.ravel()).tobytes()
+        boxes = mask_to_boxes(packed, px)
+        # disjoint boxes whose union is the mask, exactly
+        assert boxes[:, 2].max(initial=0) <= px
+        assert sum((r1 - r0) * (c1 - c0) for r0, c0, r1, c1 in boxes) == m.sum()
+        assert (boxes_to_mask(boxes, px) == m).all()
