@@ -825,6 +825,58 @@ def q_geo_rasterize(spark, sf_dir):
     return r.select("zone_id", "cell", "n_inside").orderBy("zone_id", "cell")
 
 
+def q_geo_raster_assign(spark, sf_dir):
+    """Pixel-approximate zone assignment with ZERO Python on the fact
+    path (raster.assign_zones_raster): the zone dim rasterizes to
+    morton-ordered 64-bit pixel bitsets per res-6 cell; each point then
+    resolves in whole-stage codegen — Morton encode at res 9, equi-join
+    on the res-6 cell, 1-op bitset probe, (rank, area, id) argmin. The
+    oracle re-derives the identical pixel lattice and argmin in SQL."""
+    from cosmospark.raster import assign_zones_raster
+
+    out = assign_zones_raster(
+        _pts_df(spark), _lux_typed_zones(spark), res=_RAST_RES
+    )
+    return out.select("pid", "zone_id").orderBy("pid")
+
+
+def sql_geo_raster_assign():
+    nf = (1 << _RAST_RES) * _RAST_PX
+    return f"""
+WITH zones AS (SELECT * FROM {_zones_values_sql()}),
+ij AS (
+  SELECT z.id AS zone_id, z.rank, z.area, gi.i, gj.j, z.minx, z.maxx, z.miny, z.maxy
+  FROM zones z,
+  LATERAL (SELECT unnest(generate_series(
+      CAST(floor((z.minx + 180.0) / 360.0 * {nf}) AS BIGINT) - 1,
+      CAST(ceil((z.maxx + 180.0) / 360.0 * {nf}) AS BIGINT) + 1)) AS i) gi,
+  LATERAL (SELECT unnest(generate_series(
+      CAST(floor((z.miny + 90.0) / 180.0 * {nf}) AS BIGINT) - 1,
+      CAST(ceil((z.maxy + 90.0) / 180.0 * {nf}) AS BIGINT) + 1)) AS j) gj
+),
+hit AS (
+  SELECT zone_id, rank, area, i, j FROM ij
+  WHERE (-180.0 + (i + 0.5) * 360.0 / {float(nf)!r}) BETWEEN minx AND maxx
+    AND (-90.0 + (j + 0.5) * 180.0 / {float(nf)!r}) BETWEEN miny AND maxy
+),
+pts AS ({PTS_SQL}),
+penc AS (
+  SELECT pid,
+         least(greatest(CAST(floor((lon + 180.0) / 360.0 * {nf}) AS BIGINT), 0), {nf - 1}) AS i,
+         least(greatest(CAST(floor((lat + 90.0) / 180.0 * {nf}) AS BIGINT), 0), {nf - 1}) AS j
+  FROM pts
+),
+ranked AS (
+  SELECT p.pid, h.zone_id,
+         row_number() OVER (PARTITION BY p.pid ORDER BY h.rank, h.area, h.zone_id) AS rn
+  FROM penc p JOIN hit h ON h.i = p.i AND h.j = p.j
+)
+SELECT p.pid, CAST(COALESCE(r.zone_id, -1) AS BIGINT) AS zone_id
+FROM pts p LEFT JOIN (SELECT pid, zone_id FROM ranked WHERE rn = 1) r USING (pid)
+ORDER BY pid
+"""
+
+
 def sql_geo_rasterize():
     nf = (1 << _RAST_RES) * _RAST_PX
     k = _RAST_PX.bit_length() - 1  # px = 2^k
@@ -2330,6 +2382,7 @@ def queries() -> dict:
         "geo_osm_extract": q_geo_osm_extract,
         "geo_voronoi_cells": q_geo_voronoi_cells,
         "geo_rasterize": q_geo_rasterize,
+        "geo_raster_assign": q_geo_raster_assign,
         "events_window": q_events_window,
         "lang_id": q_lang_id,
         "ann_lsh": q_ann_lsh,
@@ -2400,6 +2453,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "geo_osm_extract": sql_geo_osm_extract(),
         "geo_voronoi_cells": SQL_GEO_VORONOI,
         "geo_rasterize": sql_geo_rasterize(),
+        "geo_raster_assign": sql_geo_raster_assign(),
         "events_window": SQL_EVENTS_WINDOW,
         "lang_id": sql_lang_id(),
         "ann_lsh": sql_ann_lsh(_emb_dim(sf_dir)),

@@ -179,3 +179,158 @@ def boxes_to_mask(boxes: np.ndarray, px: int) -> np.ndarray:
     for r0, c0, r1, c1 in boxes:
         m[r0:r1, c0:c1] = True
     return m
+
+
+# morton-order permutation for an 8×8 pixel block: bit index
+# interleave(colbits, rowbits) ← row-major index row*8+col, so a point's
+# pixel bit is just (fine_morton_cell & 63) — no deinterleave in the join
+_MORTON8 = np.zeros(64, dtype=np.int64)
+for _m in range(64):
+    _a = ((_m >> 1) & 1) | (((_m >> 3) & 1) << 1) | (((_m >> 5) & 1) << 2)
+    _b = (_m & 1) | (((_m >> 2) & 1) << 1) | (((_m >> 4) & 1) << 2)
+    _MORTON8[_m] = _b * 8 + _a
+
+_BITSET_SCHEMA = T.StructType(
+    [
+        T.StructField("zone_id", T.LongType()),
+        T.StructField("rank", T.IntegerType()),
+        T.StructField("area", T.DoubleType()),
+        T.StructField("cell", T.LongType()),
+        T.StructField("mask_bits", T.LongType()),
+    ]
+)
+
+
+def rasterize_zone_bitsets(zones: DataFrame, res: int) -> DataFrame:
+    """Vector → raster with a JOINABLE encoding: per (zone, res-cell) an
+    int64 bitset of the cell's 8×8 pixel occupancy in MORTON pixel
+    order, plus the zone's (rank, area) argmin keys. A point's pixel bit
+    is the low 6 bits of its res+3 Morton cell — see
+    ``assign_zones_raster``."""
+    from cosmospark.hierarchy import type_rank_col
+    from cosmospark.ztypes import TYPE_RANK
+
+    rank = F.coalesce(type_rank_col(F.col("zone_type")), F.lit(len(TYPE_RANK)))
+    z = zones.select(
+        F.col("id").alias("zone_id"), rank.cast("int").alias("rank"), "rings"
+    )
+    px = 8
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        nf = float((1 << res) * px)
+        off = np.arange(px, dtype=np.float64)
+        pow2 = np.int64(1) << np.arange(64, dtype=np.int64)
+        for pdf in batches:
+            rows: list[dict] = []
+            for zid, rk, rrows in zip(pdf["zone_id"], pdf["rank"], pdf["rings"]):
+                if rrows is None or len(rrows) == 0:
+                    continue
+                rr = geom.rows_to_rings(rrows)
+                area = geom.area(rr)
+                minx, miny, maxx, maxy = geom.bbox(rr)
+                cc = cells.cells_for_bbox(minx, miny, maxx, maxy, res)
+                if not len(cc):
+                    continue
+                cx, cy = cells.morton_deinterleave(cc, res)
+                ii = cx[:, None] * px + off[None, :]
+                jj = cy[:, None] * px + off[None, :]
+                lon1 = -180.0 + (ii + 0.5) * 360.0 / nf
+                lat1 = -90.0 + (jj + 0.5) * 180.0 / nf
+                lon_c = np.repeat(lon1[:, None, :], px, axis=1)
+                lat_c = np.repeat(lat1[:, :, None], px, axis=2)
+                hit = geom.pip_covers(
+                    lon_c.ravel(), lat_c.ravel(), rr
+                ).reshape(len(cc), px * px)
+                # row-major (row*8+col) → morton bit position
+                bits = (hit[:, _MORTON8] * pow2[None, :]).sum(axis=1)
+                for ci in np.nonzero(bits)[0]:
+                    rows.append(
+                        {
+                            "zone_id": int(zid),
+                            "rank": int(rk),
+                            "area": float(area),
+                            "cell": int(cc[ci]),
+                            "mask_bits": int(bits[ci]),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["zone_id", "rank", "area", "cell", "mask_bits"]
+            )
+
+    return z.mapInPandas(_run, _BITSET_SCHEMA)
+
+
+def zone_pixel_lut(zones: DataFrame, res: int) -> DataFrame:
+    """Fold the rasterized zone dim into a per-cell PIXEL LOOKUP TABLE:
+    ``(cell, zone_arr)`` where ``zone_arr[pix]`` is the winning zone
+    (by the (rank, area, id) argmin, same tie-break as exact
+    assignment) of morton-pixel ``pix``, or -1. All aggregation happens
+    on the zone-dim side — at fact-join time there is nothing left to
+    resolve. Corpus-independent: build once, persist bucketed by
+    ``cell``, reuse for every fact table."""
+    rast = rasterize_zone_bitsets(zones, res)
+    per_pix = (
+        rast.select(
+            "zone_id", "rank", "area", "cell", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("pix")
+        )
+        .filter(F.expr("(shiftright(mask_bits, cast(pix as int)) & 1) = 1"))
+        .groupBy("cell", "pix")
+        .agg(
+            F.min_by(
+                "zone_id", F.struct(F.col("rank"), F.col("area"), F.col("zone_id"))
+            ).alias("zone_id")
+        )
+    )
+    return (
+        per_pix.groupBy("cell")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("pix", "zone_id"))
+            ).alias("_m")
+        )
+        .select(
+            "cell",
+            F.expr(
+                "transform(sequence(0, 63), i -> coalesce(_m[i], -1L))"
+            ).alias("zone_arr"),
+        )
+    )
+
+
+def assign_zones_raster(
+    points: DataFrame,
+    zones: DataFrame,
+    res: int,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    id_col: str = "pid",
+    lut: DataFrame | None = None,
+) -> DataFrame:
+    """PIXEL-APPROXIMATE zone assignment with ZERO Python and ZERO
+    shuffle on the fact path: the zone dim folds into a per-cell pixel
+    LUT (``zone_pixel_lut`` — rank/area argmin pre-resolved zone-side),
+    then the 10^12-row side is Morton encode at res+3, ONE equi-join on
+    the res-cell, and an ``element_at`` — all whole-stage codegen. Each
+    point gets the zone of its containing pixel's CENTER (half-pixel
+    boundary error: 360°/(2^res·8) per axis); the exact paths are
+    ``assign_zones(strategy='broadcast'|'partitioned')``.
+
+    Pass a persisted ``lut`` to amortize the rasterization across fact
+    tables; at planet scale store it bucketed by ``cell`` so the join
+    co-locates with cell-partitioned facts."""
+    if lut is None:
+        lut = zone_pixel_lut(zones, res)
+    fine = cells.col_cell_encode(F.col(lon_col), F.col(lat_col), res + 3)
+    enc = points.withColumn("_cell", F.shiftright(fine, 6)).withColumn(
+        "_pix", fine.bitwiseAND(F.lit(63)).cast("int")
+    )
+    return (
+        enc.join(lut.withColumnRenamed("cell", "_cell"), "_cell", "left")
+        .withColumn(
+            "zone_id",
+            F.coalesce(F.expr("element_at(zone_arr, _pix + 1)"), F.lit(-1)).cast(
+                "long"
+            ),
+        )
+        .drop("_cell", "_pix", "zone_arr")
+    )

@@ -108,3 +108,56 @@ def test_mask_box_roundtrip():
         assert boxes[:, 2].max(initial=0) <= px
         assert sum((r1 - r0) * (c1 - c0) for r0, c0, r1, c1 in boxes) == m.sum()
         assert (boxes_to_mask(boxes, px) == m).all()
+
+
+def test_raster_assign_agrees_with_exact_at_pixel_centers(spark):
+    """At pixel-center coordinates the pixel-approximate raster join and
+    the exact broadcast PIP must agree everywhere (the approximation
+    error is strictly sub-pixel)."""
+    import pyspark.sql.functions as F
+
+    from cosmospark.assign import assign_zones
+    from cosmospark.queries import _lux_typed_zones
+    from cosmospark.raster import assign_zones_raster
+
+    res, px = 6, 8
+    nf = (1 << res) * px
+    # a lattice of exact pixel centers across the lux box
+    pts = spark.range(4000).select(
+        F.col("id").alias("pid"),
+        F.expr(f"-180.0 + (cast((id * 7919) % 520 + 259 as double) + 0.5) * 360.0 / {nf}").alias("lon"),
+        F.expr(f"-90.0 + (cast((id * 104729) % 280 + 190 as double) + 0.5) * 180.0 / {nf}").alias("lat"),
+    )
+    exact = assign_zones(pts, _lux_typed_zones(spark)).select("pid", "zone_id")
+    approx = assign_zones_raster(pts, _lux_typed_zones(spark), res=res).select(
+        "pid", "zone_id"
+    )
+    diff = (
+        exact.alias("a")
+        .join(approx.alias("b"), "pid")
+        .filter(F.col("a.zone_id") != F.col("b.zone_id"))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_raster_assign_fact_path_is_python_free(spark):
+    """The fact side of assign_zones_raster must plan as pure
+    whole-stage codegen: the ONLY Python stage in the whole plan is the
+    zone-dim rasterizer."""
+    import pyspark.sql.functions as F
+
+    from cosmospark.queries import _lux_typed_zones
+    from cosmospark.raster import assign_zones_raster
+
+    pts = spark.range(1000).select(
+        F.col("id").alias("pid"),
+        (F.col("id") % 100 / 10.0 + 3.0).alias("lon"),
+        (F.col("id") % 90 / 10.0 + 45.0).alias("lat"),
+    )
+    plan = assign_zones_raster(
+        pts, _lux_typed_zones(spark), res=6
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1  # the zone-dim rasterizer
+    assert "FlatMapCoGroupsInPandas" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
