@@ -202,10 +202,15 @@ def phash64_batch(arrs: np.ndarray) -> np.ndarray:
 
 
 def psnr_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """(n, h, w, 3) pairs → per-image PSNR dB (inf-safe: 999 for exact)."""
-    mse = np.mean(
-        (a.astype(np.float64) - b.astype(np.float64)) ** 2, axis=(1, 2, 3)
-    )
+    """(n, h, w, 3) pairs → per-image PSNR dB (inf-safe: 999 for exact).
+
+    Squared error accumulates in exact int64 (uint8 diffs square to
+    ≤ 65025; sums stay far below 2^53), so the value is bit-identical
+    to the float64 path at a quarter of the memory traffic."""
+    d = a.astype(np.int16) - b.astype(np.int16)
+    se = np.einsum("nhwc,nhwc->n", d, d, dtype=np.int64)
+    k = a.shape[1] * a.shape[2] * a.shape[3]
+    mse = se / float(k)
     out = np.full(len(mse), 999.0)
     nz = mse > 0
     out[nz] = 10.0 * np.log10(255.0 * 255.0 / mse[nz])

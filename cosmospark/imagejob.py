@@ -29,16 +29,29 @@ from cosmospark.assign import DEFAULT_RESOLUTIONS, DEFAULT_TILE_Z, build_zone_in
 _X0, _Y0, _W, _H = 2.0, 44.0, 13.0, 10.0
 
 
+_IDX_CACHE: dict = {}
+
+
 def _pixels_for(pid: np.ndarray, px: int) -> np.ndarray:
     """Deterministic per-id pixel content: (n, px, px, 3) uint8 via a
     vectorized LCG keyed on image id — reproducible on any executor
-    without shipping the originals (used for the allclose invariant)."""
+    without shipping the originals (used for the allclose invariant).
+
+    The kernel is memory-bandwidth-bound (n×768 uint64 rows), so the
+    idx term is cached per px and every op after the first broadcast-add
+    runs in place: ONE large temporary instead of four."""
     n = len(pid)
     k = px * px * 3
-    idx = np.arange(k, dtype=np.uint64)[None, :]
-    seed = pid.astype(np.uint64)[:, None] * np.uint64(6364136223846793005) + np.uint64(1442695040888963407)
-    v = (seed + idx * np.uint64(2654435761)) * np.uint64(6364136223846793005)
-    return ((v >> np.uint64(33)) & np.uint64(0xFF)).astype(np.uint8).reshape(n, px, px, 3)
+    idxm = _IDX_CACHE.get(px)
+    if idxm is None:
+        idxm = np.arange(k, dtype=np.uint64) * np.uint64(2654435761)
+        _IDX_CACHE[px] = idxm
+    seed = pid.astype(np.uint64) * np.uint64(6364136223846793005) + np.uint64(1442695040888963407)
+    v = seed[:, None] + idxm[None, :]
+    v *= np.uint64(6364136223846793005)
+    v >>= np.uint64(33)
+    v &= np.uint64(0xFF)
+    return v.astype(np.uint8).reshape(n, px, px, 3)
 
 
 def _coords_for(pid: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
