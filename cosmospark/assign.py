@@ -287,6 +287,7 @@ def assign_zones(
     strategy: str = "broadcast",
     id_col: str | None = None,
     broadcast_budget_bytes: int = BROADCAST_BUDGET_BYTES,
+    raster_res: int = 9,
 ) -> DataFrame:
     """points + zone_id (long, -1 if unassigned and no kNN fallback).
 
@@ -301,8 +302,20 @@ def assign_zones(
         resolves the zone. Requires ``id_col`` (a unique point key).
         This is the fallback for zone tables above broadcast budget
         (planet-scale detailed geometry can be tens of GB);
-      * ``auto`` — measure the geometry size JVM-side and pick.
+      * ``raster`` — PIXEL-APPROXIMATE assignment via the per-cell
+        pixel LUT (``raster.zone_pixel_lut``): zero Python and zero
+        shuffle on the fact side; half-pixel boundary error at
+        ``raster_res`` (see ``raster.assign_zones_raster``);
+      * ``auto`` — measure the geometry size JVM-side and pick an exact
+        strategy (never the approximate raster path).
     """
+    if strategy == "raster":
+        from cosmospark.raster import assign_zones_raster
+
+        return assign_zones_raster(
+            points, zones, res=raster_res, lon_col=lon_col, lat_col=lat_col,
+            id_col=id_col or "pid",
+        )
     if strategy == "auto":
         est = estimate_zone_geom_bytes(zones)
         strategy = (
