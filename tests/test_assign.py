@@ -206,6 +206,19 @@ class TestSparkJobs:
             pdf, zones, strategy="partitioned", id_col="pid", knn_fallback=True
         ).orderBy("pid").collect()
         assert [r["zone_id"] for r in part_k] == [r["zone_id"] for r in base_k]
+        # the over-KEY-budget branch (keys_small=False): even the
+        # (res, cell) key sides must not broadcast; results unchanged
+        import cosmospark.assign as A
+
+        saved = A.BROADCAST_BUDGET_BYTES
+        A.BROADCAST_BUDGET_BYTES = 0
+        try:
+            part0 = assign_zones(
+                pdf, zones, strategy="partitioned", id_col="pid"
+            ).orderBy("pid").collect()
+        finally:
+            A.BROADCAST_BUDGET_BYTES = saved
+        assert [r["zone_id"] for r in part0] == [r["zone_id"] for r in base]
 
     def test_salted_count(self, spark):
         df = spark.range(1000).withColumn("k", F.pmod(F.col("id"), F.lit(3)))

@@ -265,3 +265,54 @@ class TestParquetSinkResume:
         assert keyed[(ts(180), "click")] == (1, 400)
         assert keyed[(ts(240), "click")] == (1, 800)
         assert keyed[(ts(600), "click")] == (1, 1600)
+
+
+class TestStreamingAssignment:
+    def test_pip_assignment_runs_on_a_stream(self, spark, tmp_path):
+        """The flagship fact operator (encode + broadcast-PIP zone
+        assignment) is a stateless narrow mapInPandas, so it runs
+        UNCHANGED on Structured Streaming — the 10^12-row batch job and
+        the streaming ingest path share one implementation."""
+        import pyspark.sql.functions as F
+
+        from cosmospark.assign import encode_and_assign
+        from cosmospark.queries import _lux_typed_zones
+
+        src = str(tmp_path / "pts")
+        os.makedirs(src)
+        for idx in range(2):
+            tbl = pa.table(
+                {
+                    "pid": pa.array([idx * 3 + i for i in range(3)], pa.int64()),
+                    "lon": pa.array([2.0 + (idx * 3 + i) * 0.01 for i in range(3)]),
+                    "lat": pa.array([49.6 + (idx * 3 + i) * 0.001 for i in range(3)]),
+                }
+            )
+            pq.write_table(tbl, os.path.join(src, f"batch-{idx:03d}.parquet"))
+
+        stream = (
+            spark.readStream.schema("pid long, lon double, lat double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        zones = _lux_typed_zones(spark)
+        assigned = encode_and_assign(stream, zones)
+        q = None
+        try:
+            q = S.run_to_memory(assigned, "stream_assign")
+            q.processAllAvailable()
+            got = spark.sql(
+                "SELECT pid, zone_id FROM stream_assign ORDER BY pid"
+            ).collect()
+        finally:
+            if q is not None:
+                q.stop()
+        # batch reference on the same rows
+        batch = spark.read.parquet(src)
+        want = {
+            r["pid"]: r["zone_id"]
+            for r in encode_and_assign(batch, zones).collect()
+        }
+        assert len(got) == 6
+        assert {r["pid"]: r["zone_id"] for r in got} == want
+        assert all(r["zone_id"] >= 0 for r in got)
