@@ -1319,8 +1319,7 @@ def q_ngram_jaccard(spark, sf_dir, broadcast_budget_bytes: int | None = None):
     )
 
 
-SQL_JACCARD = f"""
-WITH toks AS (
+_JACCARD_CTES = f"""toks AS (
   SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS tks,
          len(list_distinct(string_split(text, ' '))) AS sz
   FROM documents),
@@ -1341,9 +1340,47 @@ scored AS (
   SELECT doc_a, doc_b,
          ROUND(len(list_intersect(ta.tks, tb.tks)) /
                (ta.sz + tb.sz - len(list_intersect(ta.tks, tb.tks))), 4) AS jac
-  FROM cand JOIN toks ta ON ta.doc_id = doc_a JOIN toks tb ON tb.doc_id = doc_b)
-SELECT doc_a, doc_b, jac FROM scored WHERE jac >= {JACCARD_T}
-ORDER BY doc_a, doc_b
+  FROM cand JOIN toks ta ON ta.doc_id = doc_a JOIN toks tb ON tb.doc_id = doc_b),
+jpairs AS (SELECT doc_a, doc_b, jac FROM scored WHERE jac >= {JACCARD_T})"""
+
+SQL_JACCARD = f"""
+WITH {_JACCARD_CTES}
+SELECT doc_a, doc_b, jac FROM jpairs ORDER BY doc_a, doc_b
+"""
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING: connected components over the exact-recall
+    Jaccard pair graph (graph.connected_components — iterative
+    min-label propagation, one shuffle join per round, O(diameter)
+    rounds), then one canonical keeper per component. Turns pairwise
+    near-dup hits into the drop-list a dedup pipeline actually needs."""
+    from cosmospark.graph import connected_components
+
+    pairs = q_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    cc = connected_components(docs, pairs, id_col="doc_id", src="doc_a", dst="doc_b")
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("lab").alias("cluster"),
+        (F.col("node") == F.col("lab")).alias("is_keeper"),
+    ).orderBy("doc_id")
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_JACCARD_CTES},
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM jpairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM jpairs
+),
+reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node
+)
+SELECT node AS doc_id, MIN(lab) AS cluster, (node = MIN(lab)) AS is_keeper
+FROM reach GROUP BY node ORDER BY doc_id
 """
 
 
@@ -2392,6 +2429,7 @@ def queries() -> dict:
         "bpe_tokens": q_bpe_tokens,
         "quality_score": q_quality_score,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_rolling_hash": q_doc_rolling_hash,
         "ann_brute_force": q_ann_brute_force,
@@ -2471,6 +2509,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "bpe_tokens": SQL_BPE_TOKENS,
         "quality_score": sql_quality_score(),
         "ngram_jaccard": SQL_JACCARD,
+        "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "doc_fingerprint": SQL_FINGERPRINT,
         "doc_rolling_hash": SQL_ROLLING,
         "ann_brute_force": sql_ann_brute_force(qvec),

@@ -1,0 +1,32 @@
+"""connected_components: known component structures, isolated nodes,
+and a long chain (exercises multi-round convergence)."""
+
+import pyspark.sql.functions as F
+
+from cosmospark.graph import connected_components
+
+
+def _cc(spark, n_nodes, edge_list):
+    nodes = spark.range(n_nodes).select(F.col("id"))
+    edges = spark.createDataFrame(edge_list or [(0, 0)], "src long, dst long")
+    if not edge_list:
+        edges = edges.filter("src != src")
+    out = connected_components(nodes, edges)
+    return {r["node"]: r["lab"] for r in out.collect()}
+
+
+def test_components_with_isolated_nodes(spark):
+    # {0,1,2} via 0-1, 1-2 ; {3,4} ; 5 isolated
+    got = _cc(spark, 6, [(1, 0), (2, 1), (4, 3)])
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5}
+
+
+def test_long_chain_converges(spark):
+    # a 30-node path: min-label needs ~diameter rounds to reach the end
+    got = _cc(spark, 30, [(i, i + 1) for i in range(29)])
+    assert set(got.values()) == {0}
+
+
+def test_no_edges(spark):
+    got = _cc(spark, 4, [])
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
