@@ -1367,8 +1367,7 @@ def q_dedup_clusters(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-SQL_DEDUP_CLUSTERS = f"""
-WITH RECURSIVE {_JACCARD_CTES},
+_CLUSTER_CTES = f"""RECURSIVE {_JACCARD_CTES},
 edges AS (
   SELECT doc_a AS u, doc_b AS v FROM jpairs
   UNION
@@ -1378,9 +1377,48 @@ reach(node, lab) AS (
   SELECT doc_id, doc_id FROM documents
   UNION
   SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node
-)
-SELECT node AS doc_id, MIN(lab) AS cluster, (node = MIN(lab)) AS is_keeper
-FROM reach GROUP BY node ORDER BY doc_id
+),
+clusters AS (
+  SELECT node AS doc_id, MIN(lab) AS cluster FROM reach GROUP BY node
+)"""
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH {_CLUSTER_CTES}
+SELECT doc_id, cluster, (doc_id = cluster) AS is_keeper
+FROM clusters ORDER BY doc_id
+"""
+
+
+# multiplicative (Knuth) hash for split bucketing: exact in both
+# engines while cluster ids stay < 2^31 (BIGINT product < 2^63)
+_SPLIT_HASH = "(({c} * 2654435761) % 4294967296) % 100"
+
+
+def q_dataset_split(spark, sf_dir):
+    """LEAKAGE-SAFE train/val/test split (98/1/1): the split is decided
+    by a multiplicative hash of the near-dup CLUSTER id, not the doc
+    id, so near-duplicates can never straddle a split boundary — the
+    standard contamination guard for training-data pipelines. Composes
+    dedup_clusters with a pure-JVM bucketing expression."""
+    cc = q_dedup_clusters(spark, sf_dir)
+    h = _SPLIT_HASH.format(c="cluster")
+    return cc.select(
+        "doc_id",
+        "cluster",
+        F.expr(
+            f"case when {h} < 98 then 'train' when {h} < 99 then 'val'"
+            f" else 'test' end"
+        ).alias("split"),
+    ).orderBy("doc_id")
+
+
+SQL_DATASET_SPLIT = f"""
+WITH {_CLUSTER_CTES}
+SELECT doc_id, cluster,
+       CASE WHEN {_SPLIT_HASH.format(c="cluster")} < 98 THEN 'train'
+            WHEN {_SPLIT_HASH.format(c="cluster")} < 99 THEN 'val'
+            ELSE 'test' END AS split
+FROM clusters ORDER BY doc_id
 """
 
 
@@ -2430,6 +2468,7 @@ def queries() -> dict:
         "quality_score": q_quality_score,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
+        "dataset_split": q_dataset_split,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_rolling_hash": q_doc_rolling_hash,
         "ann_brute_force": q_ann_brute_force,
@@ -2510,6 +2549,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "quality_score": sql_quality_score(),
         "ngram_jaccard": SQL_JACCARD,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
+        "dataset_split": SQL_DATASET_SPLIT,
         "doc_fingerprint": SQL_FINGERPRINT,
         "doc_rolling_hash": SQL_ROLLING,
         "ann_brute_force": sql_ann_brute_force(qvec),
