@@ -30,3 +30,24 @@ def test_long_chain_converges(spark):
 def test_no_edges(spark):
     got = _cc(spark, 4, [])
     assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_dataset_split_branches_and_leakage_safety(spark):
+    """val/test branches (the sf fixtures happen to land all-train) and
+    the leakage guarantee: every doc in a cluster gets its cluster's
+    split."""
+    import pandas as pd
+
+    from cosmospark.queries import _SPLIT_HASH
+
+    # ids chosen so the multiplicative hash hits all three buckets
+    h = _SPLIT_HASH.format(c="cluster")
+    df = spark.createDataFrame(
+        pd.DataFrame({"cluster": [0, 115, 178, 115, 0]})
+    ).selectExpr(
+        "cluster",
+        f"case when {h} < 98 then 'train' when {h} < 99 then 'val'"
+        " else 'test' end as split",
+    )
+    got = {(r["cluster"], r["split"]) for r in df.collect()}
+    assert got == {(0, "train"), (115, "test"), (178, "val")}
