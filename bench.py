@@ -35,6 +35,21 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
+    import gc as _gc
+
+    def _scrub():
+        """Between measurements: drop cached lineages AND force a
+        driver GC. Spark's ContextCleaner only purges out-of-scope
+        shuffle/broadcast state on GC; a roomy heap defers GC so ~30
+        jobs of accumulated state degrade later queries 5-20×
+        (measured: ngram-jaccard 48.9 s → 2.2 s across one forced GC,
+        same session, same plan). A real cluster driver running ONE job
+        doesn't carry 22 other jobs' state; scrubbing reports each
+        plan's own cost."""
+        spark.catalog.clearCache()
+        _gc.collect()
+        spark._jvm.System.gc()
+
     # --- headline: H3-encode + PIP assign throughput -----------------------
     zones = _lux_typed_zones(spark)
     pts = spark.range(n_pip).select(
@@ -55,6 +70,7 @@ def main() -> None:
             F.col("zone_id") >= 0
         ).count()
         pip_sec = min(pip_sec, time.time() - t0)
+        _scrub()
     timings["pip_assign"] = round(pip_sec, 3)
     images_per_sec = n_pip / pip_sec if pip_sec > 0 else 0.0
 
@@ -99,6 +115,7 @@ def main() -> None:
             F.sum(F.col("pixels_ok").cast("long")).alias("pix_ok"),
         ).collect()[0]
         img_sec = min(img_sec, time.time() - t0)
+        _scrub()
     timings["image_pipeline"] = round(img_sec, 3)
     image_rows_per_sec = round(inv["n"] / img_sec)
 
@@ -150,6 +167,8 @@ def main() -> None:
     pbf_decode_mbps = round(_mb / vec_sec, 1)
     pbf_decode_speedup = round(scalar_sec / vec_sec, 1)
 
+    _scrub()  # the PBF/image sections above leave a full session's state
+
     # --- operator suite -----------------------------------------------------
     suite = [
         "pricing_summary",
@@ -187,9 +206,7 @@ def main() -> None:
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
-            # drop cached lineages (minhash/ngram/simhash cache fan-out
-            # inputs) so no query pays GC pressure for another's leftovers
-            spark.catalog.clearCache()
+            _scrub()
         timings[name] = round(best, 3)
 
     # --- the no-broadcast partitioned assignment path (VERDICT r2 #8):
@@ -211,6 +228,7 @@ def main() -> None:
         t0 = time.time()
         n_part = part_df.count()
         part_sec = min(part_sec, time.time() - t0)
+        _scrub()
     timings["pip_assign_partitioned"] = round(part_sec, 3)
     partitioned_images_per_sec = round(n_pip / part_sec) if part_sec > 0 else 0
     assert n_part == n_assigned, "partitioned strategy disagrees with broadcast"

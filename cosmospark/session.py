@@ -39,11 +39,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
-        # local mode runs driver+executors in ONE JVM: size the heap for
-        # the box (128 GiB here), not for a cluster driver — an 8g heap
-        # at local[32] GC-thrashes and per-query bench times swing 3-5×
-        # with heap state. On a real cluster spark-submit overrides this.
-        .config("spark.driver.memory", os.environ.get("COSMOSPARK_DRIVER_MEM", "32g"))
+        # local mode runs driver+executors in ONE JVM. 16g measured
+        # best for the bench suite: 8g GC-thrashes cache-heavy jobs,
+        # while 32g makes a multi-query session DEGRADE (ngram-jaccard
+        # 2.4 s → 20-65 s after ~30 prior jobs at 32g, stable 2.4 s at
+        # 8-16g — oversized heap defers GC so per-job state piles up).
+        # On a real cluster spark-submit conf overrides this.
+        .config("spark.driver.memory", os.environ.get("COSMOSPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
