@@ -271,9 +271,11 @@ def zone_pixel_lut(zones: DataFrame, res: int) -> DataFrame:
     rast = rasterize_zone_bitsets(zones, res)
     per_pix = (
         rast.select(
-            "zone_id", "rank", "area", "cell", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("pix")
+            "zone_id", "rank", "area", "cell", "mask_bits",
+            F.explode(F.sequence(F.lit(0), F.lit(63))).alias("pix"),
         )
         .filter(F.expr("(shiftright(mask_bits, cast(pix as int)) & 1) = 1"))
+        .drop("mask_bits")
         .groupBy("cell", "pix")
         .agg(
             F.min_by(
