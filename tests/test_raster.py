@@ -161,3 +161,52 @@ def test_raster_assign_fact_path_is_python_free(spark):
     assert plan.count("MapInPandas") == 1  # the zone-dim rasterizer
     assert "FlatMapCoGroupsInPandas" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_lut_persisted_bucketed_joins_without_lut_exchange(spark, tmp_path):
+    """The docstring's scale claim, evidenced: persist the pixel LUT
+    bucketed by cell (bucketing.write_bucketed) and the fact-side
+    assignment join reads it with NO Exchange on the LUT side — the
+    shuffle was paid once at LUT build time."""
+    import pyspark.sql.functions as F
+
+    from cosmospark.bucketing import read_bucketed, write_bucketed
+    from cosmospark.queries import _lux_typed_zones
+    from cosmospark.raster import assign_zones_raster, zone_pixel_lut
+
+    lut = zone_pixel_lut(_lux_typed_zones(spark), res=6)
+    write_bucketed(
+        lut, "lut_cells_t", str(tmp_path / "lut"), ["cell"], 8
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # at planet scale the LUT exceeds broadcast; force that join shape
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        lut_b = read_bucketed(spark, "lut_cells_t")
+        pts = spark.range(2000).select(
+            F.col("id").alias("pid"),
+            (F.col("id") % 130 / 10.0 + 2.0).alias("lon"),
+            (F.col("id") % 100 / 10.0 + 44.0).alias("lat"),
+        )
+        out = assign_zones_raster(
+            pts, _lux_typed_zones(spark), res=6, lut=lut_b
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the bucketed LUT scan feeds the join via its buckets
+        # (SelectedBucketsCount) with no Exchange over that scan: the
+        # only Exchange in the plan is on the FACT side, repartitioning
+        # points to the LUT's bucketing
+        assert "SelectedBucketsCount" in plan
+        lut_scan_prefix = plan.split("SelectedBucketsCount")[0]
+        assert "Exchange" not in lut_scan_prefix.split("Scan parquet")[-1]
+        # functional check: results identical to the in-memory LUT path
+        base = assign_zones_raster(
+            pts, _lux_typed_zones(spark), res=6
+        ).select("pid", "zone_id").collect()
+        got = out.select("pid", "zone_id").collect()
+        assert sorted((r["pid"], r["zone_id"]) for r in got) == sorted(
+            (r["pid"], r["zone_id"]) for r in base
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS lut_cells_t")
