@@ -46,6 +46,13 @@ def get_spark(
         # 8-16g — oversized heap defers GC so per-job state piles up).
         # On a real cluster spark-submit conf overrides this.
         .config("spark.driver.memory", os.environ.get("COSMOSPARK_DRIVER_MEM", "16g"))
+        # ContextCleaner purges out-of-scope shuffle/broadcast state
+        # only when the driver GCs; the default periodic GC (30 min)
+        # lets a multi-job session degrade 5-20× (measured: the same
+        # plan 48.9 s → 2.2 s across one forced GC). 2 min keeps
+        # long-running sessions (pipelines, query sweeps) at steady
+        # state for pennies of GC time.
+        .config("spark.cleaner.periodicGC.interval", "2min")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
