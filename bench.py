@@ -255,6 +255,25 @@ def main() -> None:
     timings["pip_assign_raster"] = round(rast_sec, 3)
     raster_images_per_sec = round(n_pip / rast_sec) if rast_sec > 0 else 0
 
+    # exact mode: stable pixels answer from the LUT, boundary pixels
+    # (sentinel -2) refine through the exact kernel — result identical
+    # to the broadcast strategy at a fraction of the Python work
+    lut_x = zone_pixel_lut(zones, res=9, exact=True).cache()
+    lut_x.count()
+    rex_df = assign_zones_raster(
+        pts, zones, res=9, lut=lut_x, exact=True
+    ).filter(F.col("zone_id") >= 0)
+    rex_df.count()  # warm
+    rex_sec, n_rex = float("inf"), 0
+    for _ in range(n_runs_hl):
+        t0 = time.time()
+        n_rex = rex_df.count()
+        rex_sec = min(rex_sec, time.time() - t0)
+    timings["pip_assign_raster_exact"] = round(rex_sec, 3)
+    raster_exact_images_per_sec = round(n_pip / rex_sec) if rex_sec > 0 else 0
+    assert n_rex == n_assigned, "exact raster disagrees with broadcast"
+
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "total_bench_seconds",
@@ -273,6 +292,7 @@ def main() -> None:
         "pbf_decode_speedup_vs_scalar": pbf_decode_speedup,
         "partitioned_images_per_sec": partitioned_images_per_sec,
         "raster_images_per_sec": raster_images_per_sec,
+        "raster_exact_images_per_sec": raster_exact_images_per_sec,
         "raster_assigned_rows": n_rast,
     }
     print(json.dumps(result))

@@ -840,6 +840,21 @@ def q_geo_raster_assign(spark, sf_dir):
     return out.select("pid", "zone_id").orderBy("pid")
 
 
+def q_geo_raster_assign_exact(spark, sf_dir):
+    """EXACT raster-accelerated assignment: the stability-aware pixel
+    LUT answers every point in a stable pixel (every touching zone
+    fully covers it → constant winner) with zero Python; only boundary
+    pixels (sentinel -2, perimeter-scale fraction) run the exact PIP
+    kernel. The oracle is the EXACT rectangle-PIP argmin — identical to
+    geo_pip_assign's — proving the accelerated path changes nothing."""
+    from cosmospark.raster import assign_zones_raster
+
+    out = assign_zones_raster(
+        _pts_df(spark), _lux_typed_zones(spark), res=9, exact=True
+    )
+    return out.select("pid", "zone_id").orderBy("pid")
+
+
 def sql_geo_raster_assign():
     nf = (1 << _RAST_RES) * _RAST_PX
     return f"""
@@ -2458,6 +2473,7 @@ def queries() -> dict:
         "geo_voronoi_cells": q_geo_voronoi_cells,
         "geo_rasterize": q_geo_rasterize,
         "geo_raster_assign": q_geo_raster_assign,
+        "geo_raster_assign_exact": q_geo_raster_assign_exact,
         "events_window": q_events_window,
         "lang_id": q_lang_id,
         "ann_lsh": q_ann_lsh,
@@ -2531,6 +2547,8 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "geo_voronoi_cells": SQL_GEO_VORONOI,
         "geo_rasterize": sql_geo_rasterize(),
         "geo_raster_assign": sql_geo_raster_assign(),
+        "geo_raster_assign_exact": _pip_oracle_core()
+        + "SELECT pid, zone_id FROM assigned ORDER BY pid",
         "events_window": SQL_EVENTS_WINDOW,
         "lang_id": sql_lang_id(),
         "ann_lsh": sql_ann_lsh(_emb_dim(sf_dir)),

@@ -197,16 +197,28 @@ _BITSET_SCHEMA = T.StructType(
         T.StructField("area", T.DoubleType()),
         T.StructField("cell", T.LongType()),
         T.StructField("mask_bits", T.LongType()),
+        T.StructField("full_bits", T.LongType()),
+        T.StructField("touch_bits", T.LongType()),
     ]
 )
 
 
 def rasterize_zone_bitsets(zones: DataFrame, res: int) -> DataFrame:
-    """Vector → raster with a JOINABLE encoding: per (zone, res-cell) an
-    int64 bitset of the cell's 8×8 pixel occupancy in MORTON pixel
-    order, plus the zone's (rank, area) argmin keys. A point's pixel bit
-    is the low 6 bits of its res+3 Morton cell — see
-    ``assign_zones_raster``."""
+    """Vector → raster with a JOINABLE encoding: per (zone, res-cell)
+    int64 bitsets of the cell's 8×8 pixels in MORTON pixel order, plus
+    the zone's (rank, area) argmin keys. A point's pixel bit is the low
+    6 bits of its res+3 Morton cell — see ``assign_zones_raster``.
+
+    Three bitsets per row:
+      * ``mask_bits``  — pixel CENTER inside the zone (the approximate
+        LUT signal);
+      * ``full_bits``  — pixel RECT entirely covered by the zone
+        (conservative, via ``geom.rects_fully_covered``);
+      * ``touch_bits`` — pixel rect overlaps the zone's bbox
+        (superset of any real contact).
+    ``full``/``touch`` power the EXACT mode: a pixel whose every
+    touching zone fully covers it has the same winner for every
+    interior point, so only boundary pixels need the exact kernel."""
     from cosmospark.hierarchy import type_rank_col
     from cosmospark.ztypes import TYPE_RANK
 
@@ -220,6 +232,8 @@ def rasterize_zone_bitsets(zones: DataFrame, res: int) -> DataFrame:
         nf = float((1 << res) * px)
         off = np.arange(px, dtype=np.float64)
         pow2 = np.int64(1) << np.arange(64, dtype=np.int64)
+        w = 360.0 / nf
+        h = 180.0 / nf
         for pdf in batches:
             rows: list[dict] = []
             for zid, rk, rrows in zip(pdf["zone_id"], pdf["rank"], pdf["rings"]):
@@ -241,9 +255,23 @@ def rasterize_zone_bitsets(zones: DataFrame, res: int) -> DataFrame:
                 hit = geom.pip_covers(
                     lon_c.ravel(), lat_c.ravel(), rr
                 ).reshape(len(cc), px * px)
+                # pixel RECT bounds, same (cell, row, col) layout
+                pminx = (lon_c - 0.5 * w).ravel()
+                pminy = (lat_c - 0.5 * h).ravel()
+                fullv = geom.rects_fully_covered(
+                    pminx, pminy, pminx + w, pminy + h, rr
+                ).reshape(len(cc), px * px)
+                touchv = (
+                    (pminx <= maxx)
+                    & (pminx + w >= minx)
+                    & (pminy <= maxy)
+                    & (pminy + h >= miny)
+                ).reshape(len(cc), px * px)
                 # row-major (row*8+col) → morton bit position
                 bits = (hit[:, _MORTON8] * pow2[None, :]).sum(axis=1)
-                for ci in np.nonzero(bits)[0]:
+                fbits = (fullv[:, _MORTON8] * pow2[None, :]).sum(axis=1)
+                tbits = (touchv[:, _MORTON8] * pow2[None, :]).sum(axis=1)
+                for ci in np.nonzero(bits | tbits)[0]:
                     rows.append(
                         {
                             "zone_id": int(zid),
@@ -251,38 +279,62 @@ def rasterize_zone_bitsets(zones: DataFrame, res: int) -> DataFrame:
                             "area": float(area),
                             "cell": int(cc[ci]),
                             "mask_bits": int(bits[ci]),
+                            "full_bits": int(fbits[ci]),
+                            "touch_bits": int(tbits[ci]),
                         }
                     )
             yield pd.DataFrame(
-                rows, columns=["zone_id", "rank", "area", "cell", "mask_bits"]
+                rows,
+                columns=[
+                    "zone_id", "rank", "area", "cell",
+                    "mask_bits", "full_bits", "touch_bits",
+                ],
             )
 
     return z.mapInPandas(_run, _BITSET_SCHEMA)
 
 
-def zone_pixel_lut(zones: DataFrame, res: int) -> DataFrame:
+def zone_pixel_lut(zones: DataFrame, res: int, exact: bool = False) -> DataFrame:
     """Fold the rasterized zone dim into a per-cell PIXEL LOOKUP TABLE:
     ``(cell, zone_arr)`` where ``zone_arr[pix]`` is the winning zone
     (by the (rank, area, id) argmin, same tie-break as exact
     assignment) of morton-pixel ``pix``, or -1. All aggregation happens
     on the zone-dim side — at fact-join time there is nothing left to
     resolve. Corpus-independent: build once, persist bucketed by
-    ``cell``, reuse for every fact table."""
+    ``cell``, reuse for every fact table.
+
+    ``exact=True`` builds the STABILITY-aware LUT: a pixel is stable
+    iff every zone whose bbox touches the pixel rect fully covers it —
+    then every interior point of the pixel has the same winner, so the
+    LUT answer is EXACT. Unstable (boundary) pixels get sentinel -2 and
+    are refined by the exact kernel in ``assign_zones_raster``; pixels
+    no zone touches stay -1 (exactly unassigned)."""
     rast = rasterize_zone_bitsets(zones, res)
+    sel = "mask_bits" if not exact else "touch_bits"
     per_pix = (
         rast.select(
-            "zone_id", "rank", "area", "cell", "mask_bits",
+            "zone_id", "rank", "area", "cell",
+            "mask_bits", "full_bits", "touch_bits",
             F.explode(F.sequence(F.lit(0), F.lit(63))).alias("pix"),
         )
-        .filter(F.expr("(shiftright(mask_bits, cast(pix as int)) & 1) = 1"))
-        .drop("mask_bits")
+        .filter(F.expr(f"(shiftright({sel}, cast(pix as int)) & 1) = 1"))
+        .withColumn(
+            "is_full", F.expr("(shiftright(full_bits, cast(pix as int)) & 1) = 1")
+        )
+        .drop("mask_bits", "full_bits", "touch_bits")
         .groupBy("cell", "pix")
         .agg(
             F.min_by(
                 "zone_id", F.struct(F.col("rank"), F.col("area"), F.col("zone_id"))
-            ).alias("zone_id")
+            ).alias("zone_id"),
+            F.min(F.col("is_full").cast("int")).alias("all_full"),
         )
     )
+    if exact:
+        per_pix = per_pix.withColumn(
+            "zone_id",
+            F.when(F.col("all_full") == 1, F.col("zone_id")).otherwise(F.lit(-2)),
+        )
     return (
         per_pix.groupBy("cell")
         .agg(
@@ -307,6 +359,7 @@ def assign_zones_raster(
     lat_col: str = "lat",
     id_col: str = "pid",
     lut: DataFrame | None = None,
+    exact: bool = False,
 ) -> DataFrame:
     """PIXEL-APPROXIMATE zone assignment with ZERO Python and ZERO
     shuffle on the fact path: the zone dim folds into a per-cell pixel
@@ -319,14 +372,21 @@ def assign_zones_raster(
 
     Pass a persisted ``lut`` to amortize the rasterization across fact
     tables; at planet scale store it bucketed by ``cell`` so the join
-    co-locates with cell-partitioned facts."""
+    co-locates with cell-partitioned facts.
+
+    ``exact=True`` makes the result EXACTLY equal to
+    ``assign_zones(strategy='broadcast')``: the LUT (built with
+    stability marking) answers every point in a stable pixel directly,
+    and only points in boundary pixels (sentinel -2 — a
+    perimeter-scale fraction at fine ``res``) run the exact PIP kernel
+    via the fallback strategy."""
     if lut is None:
-        lut = zone_pixel_lut(zones, res)
+        lut = zone_pixel_lut(zones, res, exact=exact)
     fine = cells.col_cell_encode(F.col(lon_col), F.col(lat_col), res + 3)
     enc = points.withColumn("_cell", F.shiftright(fine, 6)).withColumn(
         "_pix", fine.bitwiseAND(F.lit(63)).cast("int")
     )
-    return (
+    out = (
         enc.join(lut.withColumnRenamed("cell", "_cell"), "_cell", "left")
         .withColumn(
             "zone_id",
@@ -336,3 +396,11 @@ def assign_zones_raster(
         )
         .drop("_cell", "_pix", "zone_arr")
     )
+    if not exact:
+        return out
+    from cosmospark.assign import assign_zones
+
+    resolved = out.filter(F.col("zone_id") != -2)
+    boundary = out.filter(F.col("zone_id") == -2).drop("zone_id")
+    refined = assign_zones(boundary, zones, lon_col=lon_col, lat_col=lat_col)
+    return resolved.unionByName(refined)

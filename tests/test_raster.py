@@ -210,3 +210,33 @@ def test_lut_persisted_bucketed_joins_without_lut_exchange(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS lut_cells_t")
+
+
+def test_exact_raster_equals_broadcast_everywhere(spark):
+    """exact=True: identical zone ids to the broadcast strategy at
+    arbitrary coordinates (not just pixel centers) — stable pixels via
+    LUT, boundary pixels via the exact kernel."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from cosmospark.assign import assign_zones
+    from cosmospark.queries import _lux_typed_zones
+    from cosmospark.raster import assign_zones_raster
+
+    rng = np.random.default_rng(11)
+    pts = spark.createDataFrame(
+        [
+            (int(i), float(lon), float(lat))
+            for i, (lon, lat) in enumerate(
+                zip(rng.uniform(1, 17, 3000), rng.uniform(43, 55, 3000))
+            )
+        ],
+        "pid long, lon double, lat double",
+    )
+    zones = _lux_typed_zones(spark)
+    base = {r["pid"]: r["zone_id"] for r in assign_zones(pts, zones).collect()}
+    rex = {
+        r["pid"]: r["zone_id"]
+        for r in assign_zones_raster(pts, zones, res=8, exact=True).collect()
+    }
+    assert rex == base
