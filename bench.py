@@ -62,7 +62,7 @@ def main() -> None:
     # leaves the JVM interpreter-bound and halves the reading
     encode_and_assign(pts, zones).count()
 
-    n_runs_hl = int(os.environ.get("COSMOSPARK_BENCH_RUNS", "2"))
+    n_runs_hl = int(os.environ.get("COSMOSPARK_BENCH_RUNS", "3"))
     pip_sec, n_assigned = float("inf"), 0
     for _ in range(n_runs_hl):
         t0 = time.time()
@@ -193,11 +193,11 @@ def main() -> None:
     # Each suite query: best of BENCH_RUNS executions, cache cleared
     # between runs. The sandbox host has multi-minute slow phases
     # (co-tenant memory-bandwidth contention; the same plan measures
-    # 5.5 s and 28 s back-to-back in one session) — min-of-2 reports the
+    # 5.5 s and 28 s back-to-back in one session) — min-of-N reports the
     # plan's steady-state cost, which is what survives a scale-up, while
     # a single draw reports the host's mood. Run 1 also folds in Python
     # worker spawn + plan compile, which amortize to zero on a cluster.
-    n_runs = int(os.environ.get("COSMOSPARK_BENCH_RUNS", "2"))
+    n_runs = int(os.environ.get("COSMOSPARK_BENCH_RUNS", "3"))
     qs = queries()
     for name in suite:
         best = float("inf")
