@@ -98,7 +98,13 @@ def main() -> None:
     skew_top_key_frac = round(skew_rows["mx"] / skew_rows["t"], 3)
 
     # --- representative image pipeline (decode+invariants+phash+PIP) -------
-    img_path = os.environ.get("COSMOSPARK_BENCH_IMG", "/tmp/cosmospark_bench_img_200k.parquet")
+    # v2: row-group-sized files. The v1 cache wrote 4 files x ONE row
+    # group each; parquet splits at row-group granularity, so the
+    # compute-dense pipeline ran 4-wide on 32 cores (r2's 3.87 s and
+    # r3's "regressed" 7.15 s are BOTH that layout — the delta was host
+    # phase noise amplified by 4 long straggler tasks). 6250-row groups
+    # give 32 independent splits: ~1.4 s and far less noise-sensitive.
+    img_path = os.environ.get("COSMOSPARK_BENCH_IMG", "/tmp/cosmospark_bench_img_200k_v2.parquet")
     if not os.path.exists(img_path):
         from cosmospark.imagejob import gen_images_parquet
 
@@ -240,9 +246,11 @@ def main() -> None:
     from cosmospark.raster import assign_zones_raster, zone_pixel_lut
 
     # the LUT is corpus-independent (built from the zone dim alone):
-    # persisted once, reused for every fact table — the amortized shape
-    lut = zone_pixel_lut(zones, res=9).cache()
-    lut.count()
+    # persisted once, reused for every fact table — the amortized shape.
+    # localCheckpoint (not .cache()) so _scrub()'s clearCache between
+    # runs cannot evict it: every measurement then uses the SAME scrub
+    # methodology as the rest of the suite (VERDICT r3 #7).
+    lut = zone_pixel_lut(zones, res=9).localCheckpoint()
     rast_df = assign_zones_raster(pts, zones, res=9, lut=lut).filter(
         F.col("zone_id") >= 0
     )
@@ -252,14 +260,14 @@ def main() -> None:
         t0 = time.time()
         n_rast = rast_df.count()
         rast_sec = min(rast_sec, time.time() - t0)
+        _scrub()
     timings["pip_assign_raster"] = round(rast_sec, 3)
     raster_images_per_sec = round(n_pip / rast_sec) if rast_sec > 0 else 0
 
     # exact mode: stable pixels answer from the LUT, boundary pixels
     # (sentinel -2) refine through the exact kernel — result identical
     # to the broadcast strategy at a fraction of the Python work
-    lut_x = zone_pixel_lut(zones, res=9, exact=True).cache()
-    lut_x.count()
+    lut_x = zone_pixel_lut(zones, res=9, exact=True).localCheckpoint()
     rex_df = assign_zones_raster(
         pts, zones, res=9, lut=lut_x, exact=True
     ).filter(F.col("zone_id") >= 0)
@@ -269,6 +277,7 @@ def main() -> None:
         t0 = time.time()
         n_rex = rex_df.count()
         rex_sec = min(rex_sec, time.time() - t0)
+        _scrub()
     timings["pip_assign_raster_exact"] = round(rex_sec, 3)
     raster_exact_images_per_sec = round(n_pip / rex_sec) if rex_sec > 0 else 0
     assert n_rex == n_assigned, "exact raster disagrees with broadcast"

@@ -101,11 +101,25 @@ def _chunk_table(start: int, m: int, px: int) -> pa.Table:
     )
 
 
-def gen_images_parquet(path: str, n_rows: int, px: int = 16, chunk: int = 50_000) -> str:
+def gen_images_parquet(
+    path: str,
+    n_rows: int,
+    px: int = 16,
+    chunk: int = 50_000,
+    row_group_size: int = 6_250,
+) -> str:
     """Write the synthetic image fact table. For > 1 chunk, ``path``
     becomes a parquet DIRECTORY with one file per chunk, so the Spark
     scan parallelizes across executors without a repartition shuffle.
-    Even pids raw-coded, odd pids lossy-coded."""
+    Even pids raw-coded, odd pids lossy-coded.
+
+    ``row_group_size`` matters more than file count: parquet splits at
+    ROW-GROUP granularity, so a 50k-row file written as one row group is
+    one indivisible task no matter how many byte-range partitions Spark
+    carves (measured: 4 files x 1 row group ran the 200k-row pipeline
+    4-wide on 32 cores, 6.4 s; the same data in 6250-row groups, 1.4 s).
+    At 100 TB the same rule holds: size row groups so one group's decode
+    cost is a good task quantum, or compute-dense scans underparallelize."""
     if n_rows > chunk:
         os.makedirs(path, exist_ok=True)
         for fi, start in enumerate(range(0, n_rows, chunk)):
@@ -114,10 +128,16 @@ def gen_images_parquet(path: str, n_rows: int, px: int = 16, chunk: int = 50_000
                 _chunk_table(start, m, px),
                 os.path.join(path, f"part-{fi:05d}.parquet"),
                 compression="snappy",
+                row_group_size=row_group_size,
             )
         return path
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    pq.write_table(_chunk_table(0, n_rows, px), path, compression="snappy")
+    pq.write_table(
+        _chunk_table(0, n_rows, px),
+        path,
+        compression="snappy",
+        row_group_size=row_group_size,
+    )
     return path
 
 
@@ -137,7 +157,7 @@ _OUT_SCHEMA = T.StructType(
 )
 
 
-def image_pipeline(images: DataFrame, zones: DataFrame, px: int = 16) -> DataFrame:
+def image_pipeline(images: DataFrame, zones: DataFrame, px: int = 16, index=None) -> DataFrame:
     """Fused per-image job: decode bytes → verify pixels (allclose for
     raw, PSNR ≥ 40 dB for lossy) → recompute + verify phash → verify
     caption → encode cells/tile → PIP zone assignment.
@@ -145,7 +165,11 @@ def image_pipeline(images: DataFrame, zones: DataFrame, px: int = 16) -> DataFra
     One mapInPandas pass, zero shuffles: the scalable shape for 10^12
     rows (scan → narrow transform → partitioned sink)."""
     spark = images.sparkSession
-    index = build_zone_index(zones)
+    if index is None:
+        # dim-side fixed cost (~0.6 s for 200 detailed zones); callers
+        # running the pipeline repeatedly (streaming micro-batches) pass
+        # a prebuilt index to pay it once
+        index = build_zone_index(zones)
     bc = spark.sparkContext.broadcast(index)
     res_sorted = sorted(DEFAULT_RESOLUTIONS)
     finest = res_sorted[-1]
