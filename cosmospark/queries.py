@@ -1109,14 +1109,32 @@ ORDER BY id_a, id_b
 
 
 def q_dedup_exact(spark, sf_dir):
-    """Exact dedup: hash-groupBy on content, keep min doc_id."""
-    d = _t(spark, sf_dir, "documents")
-    return (
-        d.groupBy("text")
+    """Exact dedup with a FIXED-WIDTH shuffle key (VERDICT r3 #3).
+
+    groupBy(text) ships the corpus through the shuffle — at 100 TB the
+    exchange carries 100 TB. Instead: (1) aggregate on xxhash64(text)
+    (8-byte key, map-side partial combine); a bucket of size 1 is proven
+    unique without ever comparing text. (2) Only rows whose hash bucket
+    holds >1 doc re-shuffle WITH text for exact in-bucket verification —
+    on real corpora that is the duplicate fraction, not the corpus.
+    Result is bit-identical to groupBy(text): hash collisions split
+    correctly in pass 2; unique hashes imply unique texts trivially."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.xxhash64("text").alias("h")
+    )
+    buckets = d.groupBy("h").agg(
+        F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies")
+    )
+    singles = buckets.filter(F.col("n_copies") == 1).select("keeper", "n_copies")
+    dup_rows = d.join(
+        buckets.filter(F.col("n_copies") > 1).select("h"), "h", "left_semi"
+    )
+    verified = (
+        dup_rows.groupBy("h", "text")
         .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies"))
         .select("keeper", "n_copies")
-        .orderBy("keeper")
     )
+    return singles.unionByName(verified).orderBy("keeper")
 
 
 SQL_DEDUP = """

@@ -152,3 +152,20 @@ def test_partitioned_assignment_no_geometry_broadcast(spark):
         head = seg[:400]
         assert "rings_bin" not in head, f"geometry broadcast: {head}"
     assert "CartesianProduct" not in plan
+
+
+def test_dedup_exact_fixed_width_shuffle_key(spark):
+    """The exact-dedup shuffle must key on xxhash64(text), never on the
+    raw text (VERDICT r3 #3: groupBy(text) ships the corpus through the
+    exchange at 100 TB). Full text may only re-shuffle for the
+    duplicate-candidate verification pass, which keys on (h, text)."""
+    plan = _plan(Q.q_dedup_exact(spark, SF_DIR))
+    assert "xxhash64" in plan
+    # every exchange partitioning whose FIRST key is the text column is
+    # the corpus-wide shuffle we forbid; (h, text) verification keys are
+    # fine because they only carry the dup-candidate semi-join output
+    import re
+
+    for m in re.finditer(r"hashpartitioning\((\w+)#", plan):
+        assert m.group(1) != "text", "corpus-wide shuffle keyed on text"
+    assert "LeftSemi" in plan  # verification pass is candidate-bounded
