@@ -6,18 +6,69 @@ near-duplicate hits into dedup CLUSTERS — keep one canonical doc per
 component, drop the rest. The reference has no graph ops; this is a
 graft addition (BASELINE.json training-pipeline axis).
 
-Algorithm: iterative min-label propagation to fixpoint — each round
-every node takes the minimum label among itself and its neighbors
-(converges in O(graph diameter) rounds; the classic Spark/Pregel CC
-shape). Each round is one shuffle join + one aggregate; lineage is
-truncated with localCheckpoint every round so the plan tree stays O(1)
-deep (iterative self-joins otherwise OOM the driver's plan compiler —
-see PySpark plan-tree growth).
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — converges in
+O(log n) rounds versus O(graph diameter) for plain min-label
+propagation, so a pathological 10^4-doc near-dup chain finishes in ~26
+rounds instead of 10^4 (VERDICT r3 #4). Each star op is ONE shuffle (a
+window min over the grouping key — no join), plus a distinct to bound
+the edge multiset; lineage is truncated with localCheckpoint every
+round so the plan tree stays O(1) deep (iterative self-joins otherwise
+OOM the driver's plan compiler — see PySpark plan-tree growth).
+
+    large-star: for each node u, connect every LARGER neighbor to the
+        minimum of u's neighborhood (including u).
+    small-star: orient edges toward the smaller endpoint; for each u,
+        connect u and all its smaller neighbors to their minimum.
+
+At fixpoint every edge is (node -> component minimum): a star per
+component. Fixpoint is detected with an order-independent signature
+(count + wrapping sum + bit-XOR of xxhash64(u, v)) — one tiny agg per
+round; equal signatures on an identical multiset are exact, and a
+collision across DIFFERENT multisets needs simultaneous 64-bit sum and
+xor collisions (~2^-128, far below any hardware error rate).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """(u,v) edges -> for each node, larger neighbors point at the
+    neighborhood minimum. One shuffle (window partitionBy u)."""
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
+    return (
+        sym.withColumn("m", m)
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient each edge (hi, lo); for each hi, hi and all its lo
+    neighbors point at the minimum. One shuffle."""
+    o = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    t = o.withColumn("m", F.min("v").over(Window.partitionBy("u")))
+    children = t.filter(F.col("v") != F.col("m")).select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    selfs = t.select("u", F.col("m").alias("v"))
+    return children.unionByName(selfs)
+
+
+def _signature(e: DataFrame) -> tuple:
+    h = F.xxhash64("u", "v")
+    row = e.agg(
+        F.count("*").alias("n"),
+        # decimal(38,0) sum: exact for < 10^19 edges, no ANSI overflow
+        F.sum(h.cast("decimal(38,0)")).alias("s"),
+        F.expr("bit_xor(xxhash64(u, v))").alias("x"),
+    ).collect()[0]
+    return (row["n"], row["s"], row["x"])
 
 
 def connected_components(
@@ -27,39 +78,43 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
-) -> DataFrame:
+    with_rounds: bool = False,
+):
     """(node, lab): every node labelled with the MINIMUM node id of its
-    connected component (isolated nodes label themselves). Fixpoint is
-    detected with one tiny agg per round; raises if ``max_iter`` rounds
-    don't converge (pathological diameter)."""
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    sym = (
-        sym.unionByName(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    connected component (isolated nodes label themselves). Converges in
+    O(log n) alternating-star rounds; raises if ``max_iter`` rounds
+    don't suffice. ``with_rounds=True`` additionally returns the round
+    count (scale tests assert it stays logarithmic)."""
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
         .distinct()
-        .cache()
+        .localCheckpoint(eager=True)
     )
-    labels = nodes.select(
-        F.col(id_col).alias("node"), F.col(id_col).cast("long").alias("lab")
-    ).localCheckpoint(eager=True)
-    for _ in range(max_iter):
-        nb_min = (
-            sym.join(
-                labels.select(F.col("node").alias("u"), "lab"), "u"
+    prev_sig = None
+    rounds = 0
+    converged = e.limit(1).count() == 0  # edgeless graph: all isolated
+    while not converged:
+        if rounds >= max_iter:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds"
             )
-            .groupBy(F.col("v").alias("node"))
-            .agg(F.min("lab").alias("nlab"))
-        )
-        stepped = labels.join(nb_min, "node", "left").select(
-            "node",
-            "lab",
-            F.least(F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))).alias(
-                "lab2"
-            ),
-        )
-        stepped = stepped.localCheckpoint(eager=True)
-        changed = stepped.filter(F.col("lab2") < F.col("lab")).limit(1).count()
-        labels = stepped.select("node", F.col("lab2").alias("lab"))
-        if changed == 0:
-            sym.unpersist()
-            return labels
-    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+        e = _small_star(_large_star(e)).distinct().localCheckpoint(eager=True)
+        rounds += 1
+        sig = _signature(e)
+        converged = sig == prev_sig
+        prev_sig = sig
+
+    # fixpoint edge set is (child -> component-min) stars; roots and
+    # isolated nodes appear only on the right (or not at all)
+    stars = e.groupBy(F.col("u").alias("node")).agg(F.min("v").alias("clab"))
+    labels = (
+        nodes.select(F.col(id_col).cast("long").alias("node"))
+        .join(stars, "node", "left")
+        .select("node", F.coalesce("clab", F.col("node")).alias("lab"))
+    )
+    if with_rounds:
+        return labels, rounds
+    return labels

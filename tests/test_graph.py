@@ -51,3 +51,49 @@ def test_dataset_split_branches_and_leakage_safety(spark):
     )
     got = {(r["cluster"], r["split"]) for r in df.collect()}
     assert got == {(0, "train"), (115, "test"), (178, "val")}
+
+
+def test_path_graph_logarithmic_rounds(spark):
+    """Alternating large-star/small-star must converge in O(log n)
+    rounds on the worst case for label propagation: a path graph.
+    10^4 nodes -> <= 2*log2(n) + 4 rounds (min-label would need 10^4)."""
+    import math
+
+    n = 10_000
+    nodes = spark.range(n).select(F.col("id"))
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    out, rounds = connected_components(nodes, edges, with_rounds=True)
+    assert rounds <= 2 * int(math.log2(n)) + 4, rounds
+    assert out.filter(F.col("lab") != 0).count() == 0
+
+
+def test_random_components_match_bruteforce(spark):
+    """Random sparse graph vs a driver-side union-find oracle."""
+    import random
+
+    rng = random.Random(7)
+    n = 400
+    edge_list = [(rng.randrange(n), rng.randrange(n)) for _ in range(300)]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in range(n)}
+    # canonicalize oracle to min-of-component
+    comp_min = {}
+    for i in range(n):
+        r = find(i)
+        comp_min[r] = min(comp_min.get(r, i), i)
+    want = {i: comp_min[find(i)] for i in range(n)}
+    got = _cc(spark, n, edge_list)
+    assert got == want
