@@ -319,6 +319,60 @@ def rects_fully_covered(
     k = len(minx)
     if k == 0:
         return np.zeros(0, dtype=bool)
+    edge_hit = _rect_edge_hits(minx, miny, maxx, maxy, rings)
+    out = np.zeros(k, dtype=bool)
+    clear = np.nonzero(~edge_hit)[0]
+    if len(clear):
+        # no boundary edge touches these rects → the whole rect lies on
+        # one side of the boundary; ONE strictly-interior point decides
+        cx = (minx[clear] + maxx[clear]) / 2.0
+        cy = (miny[clear] + maxy[clear]) / 2.0
+        out[clear] = pip(cx, cy, rings)
+    return out
+
+
+def rects_classify(
+    minx: np.ndarray, miny: np.ndarray, maxx: np.ndarray, maxy: np.ndarray,
+    rings: list[Ring],
+) -> np.ndarray:
+    """Three-way rect/multipolygon classification, vectorized:
+    0 = OUTSIDE (rect ∩ polygon = ∅), 1 = FULL (rect entirely covered),
+    2 = BOUNDARY (a ring edge may touch the rect — the only class that
+    needs per-pixel work downstream).
+
+    Soundness is one lemma: if no boundary edge touches a rect
+    (``edge_hit`` false — conservative, bbox-overlap + line-separation
+    refined), the rect lies entirely on one side of the boundary, so its
+    center pins OUTSIDE vs FULL exactly. A polygon wholly inside a rect
+    always trips edge_hit (its edges' bboxes overlap the rect), so class
+    0/1 are never wrong; class 2 may include rects an exact test would
+    resolve — those just pay the per-pixel kernel. This powers the
+    hierarchical raster descent (``raster.zone_raster_cover``)."""
+    minx = np.asarray(minx, dtype=np.float64)
+    miny = np.asarray(miny, dtype=np.float64)
+    maxx = np.asarray(maxx, dtype=np.float64)
+    maxy = np.asarray(maxy, dtype=np.float64)
+    k = len(minx)
+    if k == 0:
+        return np.zeros(0, dtype=np.int8)
+    edge_hit = _rect_edge_hits(minx, miny, maxx, maxy, rings)
+    out = np.full(k, 2, dtype=np.int8)
+    clear = np.nonzero(~edge_hit)[0]
+    if len(clear):
+        cx = (minx[clear] + maxx[clear]) / 2.0
+        cy = (miny[clear] + maxy[clear]) / 2.0
+        out[clear] = pip(cx, cy, rings).astype(np.int8)
+    return out
+
+
+def _rect_edge_hits(
+    minx: np.ndarray, miny: np.ndarray, maxx: np.ndarray, maxy: np.ndarray,
+    rings: list[Ring],
+) -> np.ndarray:
+    """Per-rect: does any ring edge's bbox overlap the rect without the
+    edge's LINE separating all 4 rect corners? (shared by
+    ``rects_fully_covered`` / ``rects_classify``)"""
+    k = len(minx)
     edge_hit = np.zeros(k, dtype=bool)
     for _, _, xs, ys in rings:
         x1, y1, x2, y2 = _ring_edges(xs, ys)
@@ -356,15 +410,7 @@ def rects_fully_covered(
                 (d1 < -EPS) & (d2 < -EPS) & (d3 < -EPS) & (d4 < -EPS)
             )
             edge_hit[s : s + step] |= (bb & ~one_side).any(axis=1)
-    out = np.zeros(k, dtype=bool)
-    clear = np.nonzero(~edge_hit)[0]
-    if len(clear):
-        # no boundary edge touches these rects → the whole rect lies on
-        # one side of the boundary; ONE strictly-interior point decides
-        cx = (minx[clear] + maxx[clear]) / 2.0
-        cy = (miny[clear] + maxy[clear]) / 2.0
-        out[clear] = pip(cx, cy, rings)
-    return out
+    return edge_hit
 
 
 def pack_rings(rings: list[Ring]) -> bytes:

