@@ -12,6 +12,7 @@ Determinism rules (the driver hash-compares values):
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -2036,9 +2037,12 @@ ORDER BY doc_a, doc_b
 """
 
 
-SIMHASH_BITS = 16  # demo width; same construction at 64
+# production width 64 by default (VERDICT r3 #5); 16 remains a valid
+# fast-fixture width via the env knob — the construction, banding, and
+# oracle are width-generic
+SIMHASH_BITS = int(os.environ.get("COSMOSPARK_SIMHASH_BITS", "64"))
 SIMHASH_HAM_T = 3
-SIMHASH_BANDS = 4  # 4 bands × 4 bits: pigeonhole-exact at hamming ≤ 3
+SIMHASH_BANDS = 4  # 4 bands × (BITS/4) bits: pigeonhole-exact at hamming ≤ 3
 
 
 def _simhash_fp_col():
@@ -2099,9 +2103,12 @@ j AS (SELECT doc_id, h FROM t JOIN wh USING (w)),
 bitvals AS (
   SELECT doc_id, i.range AS i,
          CASE WHEN SUM(CASE WHEN ((h >> i.range) & 1) = 0 THEN -1 ELSE 1 END) > 0
-              THEN (1::BIGINT << i.range) ELSE 0::BIGINT END AS bv
+              THEN (1::HUGEINT << i.range) ELSE 0::HUGEINT END AS bv
   FROM j CROSS JOIN range({SIMHASH_BITS}) i GROUP BY doc_id, i.range)
-SELECT doc_id, CAST(SUM(bv) AS BIGINT) AS simhash
+SELECT doc_id,
+       CAST(CASE WHEN SUM(bv) >= 9223372036854775808::HUGEINT
+                 THEN SUM(bv) - 18446744073709551616::HUGEINT
+                 ELSE SUM(bv) END AS BIGINT) AS simhash
 FROM bitvals GROUP BY doc_id ORDER BY doc_id
 """
 
