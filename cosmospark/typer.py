@@ -55,6 +55,20 @@ RULES_CONTAINED_SCHEMA = T.StructType(
         T.StructField("zone_type", T.StringType(), False),
     ]
 )
+# second nesting hop (zone_typer.rs:143-157 evaluates contained_by
+# RECURSIVELY; libpostal data nests at most one extra level in practice,
+# so two hops cover it — deeper nests raise at parse time rather than
+# silently mistype):
+# "inside outer_container, zones inside inner_container type by this map"
+RULES_CONTAINED2_SCHEMA = T.StructType(
+    [
+        T.StructField("country", T.StringType(), False),
+        T.StructField("outer_container_osm_id", T.StringType(), False),
+        T.StructField("inner_container_osm_id", T.StringType(), False),
+        T.StructField("admin_level", T.StringType(), False),
+        T.StructField("zone_type", T.StringType(), False),
+    ]
+)
 
 
 # ---------------------------------------------------------------------------
@@ -168,17 +182,42 @@ def parse_libpostal_yaml(country: str, text: str) -> tuple[list, list, list]:
                 raise ValueError(f"{country}: id override {oid!r} must be scalar")
             id_rules.append((cc, f"{otype}:{oid}", zt))  # None = explicitly untyped
     contained = []
+    contained2 = []
     for otype, m in (ovr.get("contained_by") or {}).items():
         for oid, sub in m.items():
             if not isinstance(sub, dict):
                 raise ValueError(f"{country}: contained_by {oid!r} must be a rule map")
+            outer = f"{otype}:{oid}"
             for lvl, zt in (sub.get("admin_level") or {}).items():
                 if not isinstance(zt, str):
                     raise ValueError(
                         f"{country}: contained_by {oid!r} admin_level[{lvl!r}] must be scalar"
                     )
-                contained.append((cc, f"{otype}:{oid}", str(lvl), zt))
-    return levels, id_rules, contained
+                contained.append((cc, outer, str(lvl), zt))
+            # one RECURSIVE hop (zone_typer.rs:143-157): the container's
+            # own contained_by sub-rules; deeper nesting is a hard parse
+            # error, never a silent mistype
+            for otype2, m2 in ((sub.get("overrides") or {}).get("contained_by") or {}).items():
+                for oid2, sub2 in m2.items():
+                    if not isinstance(sub2, dict):
+                        raise ValueError(
+                            f"{country}: contained_by {oid2!r} must be a rule map"
+                        )
+                    if (sub2.get("overrides") or {}).get("contained_by"):
+                        raise ValueError(
+                            f"{country}: contained_by nesting deeper than 2 "
+                            "levels is not supported"
+                        )
+                    for lvl, zt in (sub2.get("admin_level") or {}).items():
+                        if not isinstance(zt, str):
+                            raise ValueError(
+                                f"{country}: contained_by {oid2!r} "
+                                f"admin_level[{lvl!r}] must be scalar"
+                            )
+                        contained2.append(
+                            (cc, outer, f"{otype2}:{oid2}", str(lvl), zt)
+                        )
+    return levels, id_rules, contained, contained2
 
 
 def load_libpostal_rules(spark: SparkSession, folder: str) -> dict[str, DataFrame]:
@@ -192,20 +231,22 @@ def load_libpostal_rules(spark: SparkSession, folder: str) -> dict[str, DataFram
     levels: list = []
     id_rules: list = []
     contained: list = []
+    contained2: list = []
     for name in sorted(os.listdir(folder)):
         if not (name.endswith(".yaml") or name.endswith(".yml")):
             continue
         cc = os.path.splitext(name)[0]
         try:
             with open(os.path.join(folder, name), encoding="utf-8") as fh:
-                lv, ids, cb = parse_libpostal_yaml(cc, fh.read())
+                lv, ids, cb, cb2 = parse_libpostal_yaml(cc, fh.read())
         except ValueError as e:
             warnings.warn(f"skipping rules file {name}: {e}", stacklevel=2)
             continue
         levels.extend(lv)
         id_rules.extend(ids)
         contained.extend(cb)
-    return make_rules(spark, levels, id_rules, contained)
+        contained2.extend(cb2)
+    return make_rules(spark, levels, id_rules, contained, contained2)
 
 
 def make_rules(
@@ -213,11 +254,15 @@ def make_rules(
     levels: list[tuple],
     id_overrides: list[tuple] = (),
     contained_by: list[tuple] = (),
+    contained_by2: list[tuple] = (),
 ) -> dict[str, DataFrame]:
     return {
         "levels": spark.createDataFrame(list(levels), RULES_LEVELS_SCHEMA),
         "id_overrides": spark.createDataFrame(list(id_overrides), RULES_ID_SCHEMA),
         "contained_by": spark.createDataFrame(list(contained_by), RULES_CONTAINED_SCHEMA),
+        "contained_by2": spark.createDataFrame(
+            list(contained_by2), RULES_CONTAINED2_SCHEMA
+        ),
     }
 
 
@@ -338,6 +383,60 @@ def type_zones(zones: DataFrame, inclusions: DataFrame, rules: dict[str, DataFra
         "left",
     ).drop("_sr_country", "_sr_container", "_sr_level")
 
+    # (2b) second RECURSIVE hop (zone_typer.rs:143-157: get_zone_type on
+    # the chosen container's rules re-enters contained_by before its
+    # admin_level map): among the child's parents, the most specific one
+    # carrying sub-rules NESTED under the chosen outer container
+    inner_rules = rules.get("contained_by2")
+    if inner_rules is not None:
+        containers2 = inner_rules.select(
+            F.col("country").alias("_cb2_country"),
+            F.col("outer_container_osm_id").alias("_cb2_outer"),
+            F.col("inner_container_osm_id").alias("_cb2_inner"),
+        ).distinct()
+        parent_ids2 = zones.select(
+            F.col("id").alias("parent"),
+            F.col("osm_id").alias("_p2_osm_id"),
+            F.coalesce(F.col("admin_level"), F.lit(0)).alias("_p2_level"),
+        )
+        child_cc2 = zones.select(
+            F.col("id").alias("child"), F.col("country_code").alias("_c2_cc")
+        )
+        cand2 = (
+            inclusions.join(parent_ids2, "parent")
+            .join(chosen, "child")
+            .join(
+                F.broadcast(containers2),
+                (F.col("_p2_osm_id") == F.col("_cb2_inner"))
+                & (F.col("_chosen_container") == F.col("_cb2_outer")),
+            )
+            .join(child_cc2, "child")
+            .filter(F.col("_cb2_country") == F.col("_c2_cc"))
+        )
+        chosen2 = cand2.groupBy("child").agg(
+            F.max_by(
+                "_cb2_inner", F.struct(F.col("_p2_level"), -F.col("parent"))
+            ).alias("_chosen_inner")
+        )
+        z = z.join(chosen2.withColumnRenamed("child", "id"), "id", "left")
+        sub2 = inner_rules.select(
+            F.col("country").alias("_s2_country"),
+            F.col("outer_container_osm_id").alias("_s2_outer"),
+            F.col("inner_container_osm_id").alias("_s2_inner"),
+            F.col("admin_level").alias("_s2_level"),
+            F.col("zone_type").alias("_s2_type"),
+        )
+        z = z.join(
+            F.broadcast(sub2),
+            (F.col("country_code") == F.col("_s2_country"))
+            & (F.col("_chosen_container") == F.col("_s2_outer"))
+            & (F.col("_chosen_inner") == F.col("_s2_inner"))
+            & (lvl == F.col("_s2_level")),
+            "left",
+        ).drop("_s2_country", "_s2_outer", "_s2_inner", "_s2_level", "_chosen_inner")
+    else:
+        z = z.withColumn("_s2_type", F.lit(None).cast("string"))
+
     # (3) country default admin_level map
     defaults = rules["levels"].select(
         F.col("country").alias("_df_country"),
@@ -350,13 +449,16 @@ def type_zones(zones: DataFrame, inclusions: DataFrame, rules: dict[str, DataFra
         "left",
     ).drop("_df_country", "_df_level")
 
+    # the inner (recursive) hop outranks the outer container's own
+    # admin_level map — the reference checks get_overrided_type of the
+    # sub-rules before their level map
     typed = F.when(
         F.col("_ov_type").isNotNull(),
         F.when(F.col("_ov_type") == EXPLICIT_NONE, F.lit(None)).otherwise(F.col("_ov_type")),
-    ).otherwise(F.coalesce(F.col("_sr_type"), F.col("_df_type")))
+    ).otherwise(F.coalesce(F.col("_s2_type"), F.col("_sr_type"), F.col("_df_type")))
 
     return z.withColumn("zone_type", typed).drop(
-        "_ov_type", "_sr_type", "_df_type", "_chosen_container"
+        "_ov_type", "_s2_type", "_sr_type", "_df_type", "_chosen_container"
     )
 
 

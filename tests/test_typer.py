@@ -167,7 +167,7 @@ class TestLibpostalYaml:
     def test_basic(self):
         from cosmospark.typer import parse_libpostal_yaml
 
-        levels, ids, contained = parse_libpostal_yaml("lu", self.BASIC)
+        levels, ids, contained, contained2 = parse_libpostal_yaml("lu", self.BASIC)
         assert ("LU", "3", "country") in levels
         assert ("LU", "5", "city_district") in levels
         assert ids == [] and contained == []
@@ -184,14 +184,14 @@ class TestLibpostalYaml:
     def test_contained_by(self):
         from cosmospark.typer import parse_libpostal_yaml
 
-        levels, ids, contained = parse_libpostal_yaml("lu", self.CONTAINED)
+        levels, ids, contained, contained2 = parse_libpostal_yaml("lu", self.CONTAINED)
         assert ("LU", "2", "country") in levels
         assert ("LU", "relation:407489", "9", "city_district") in contained
 
     def test_id_overrides_with_explicit_null(self):
         from cosmospark.typer import parse_libpostal_yaml
 
-        levels, ids, contained = parse_libpostal_yaml("lu", self.ID_OVERRIDES)
+        levels, ids, contained, contained2 = parse_libpostal_yaml("lu", self.ID_OVERRIDES)
         assert ("LU", "relation:1803923", "city_district") in ids
         assert ("LU", "relation:42", None) in ids
 
@@ -232,3 +232,77 @@ class TestLibpostalYaml:
         assert typed["relation:1803923"] == "city_district"  # id override
         assert typed["relation:42"] is None  # explicit null wins over default
         assert typed["relation:9"] == "city"  # country default map
+
+
+class TestContainedByTwoHops:
+    """The RECURSIVE contained_by evaluation (zone_typer.rs:143-157):
+    rules nested under a container's own overrides.contained_by outrank
+    that container's admin_level map, and a third nesting level is a
+    parse error."""
+
+    TWO_LEVEL_YAML = """
+---
+admin_level:
+  "2": country
+  "8": city
+overrides:
+  contained_by:
+    relation:
+      "100":
+        admin_level:
+          "8": state_district
+        overrides:
+          contained_by:
+            relation:
+              "200":
+                admin_level:
+                  "8": suburb
+"""
+
+    def test_parse_two_levels(self):
+        from cosmospark.typer import parse_libpostal_yaml
+
+        levels, ids, cb, cb2 = parse_libpostal_yaml("fr", self.TWO_LEVEL_YAML)
+        assert ("FR", "relation:100", "8", "state_district") in cb
+        assert cb2 == [("FR", "relation:100", "relation:200", "8", "suburb")]
+
+    def test_parse_three_levels_rejected(self):
+        from cosmospark.typer import parse_libpostal_yaml
+
+        bad = self.TWO_LEVEL_YAML + (
+            "                overrides:\n"
+            "                  contained_by:\n"
+            "                    relation:\n"
+            '                      "300":\n'
+            "                        admin_level:\n"
+            '                          "8": city_district\n'
+        )
+        with pytest.raises(ValueError, match="deeper than 2"):
+            parse_libpostal_yaml("fr", bad)
+
+    def test_second_hop_typing(self, spark):
+        from cosmospark.typer import parse_libpostal_yaml
+
+        levels, ids, cb, cb2 = parse_libpostal_yaml("fr", self.TWO_LEVEL_YAML)
+        rules = make_rules(spark, levels, ids, cb, cb2)
+        # zone 1: inside outer 100 AND inner 200 → suburb (inner hop)
+        # zone 2: inside outer 100 only → state_district (outer sub-map)
+        # zone 3: inside neither → city (country default)
+        zones = spark.createDataFrame(
+            [
+                (1, "relation:1", 8, "FR"),
+                (2, "relation:2", 8, "FR"),
+                (3, "relation:3", 8, "FR"),
+                (10, "relation:100", 4, "FR"),
+                (20, "relation:200", 6, "FR"),
+            ],
+            "id long, osm_id string, admin_level int, country_code string",
+        )
+        inclusions = spark.createDataFrame(
+            [(1, 10), (1, 20), (2, 10), (20, 10)], "child long, parent long"
+        )
+        out = type_zones(zones, inclusions, rules)
+        got = {r["osm_id"]: r["zone_type"] for r in out.collect()}
+        assert got["relation:1"] == "suburb"
+        assert got["relation:2"] == "state_district"
+        assert got["relation:3"] == "city"
