@@ -40,8 +40,17 @@ def _collect_file_stats(path: str) -> list[dict]:
     return files
 
 
-def write_stage(df: DataFrame, root: str, stage: str, fingerprint: str | None = None) -> dict:
-    """Write df as a committed stage snapshot; returns the manifest."""
+def write_stage(
+    df: DataFrame,
+    root: str,
+    stage: str,
+    fingerprint: str | None = None,
+    committed_at: float | None = None,
+) -> dict:
+    """Write df as a committed stage snapshot; returns the manifest.
+    ``committed_at`` is stamped fresh unless the caller carries over an
+    existing commit identity (compaction: content is unchanged, so the
+    identity downstream cascade tokens fold in must not change)."""
     final = os.path.join(root, stage)
     tmp = final + "._tmp"
     if os.path.exists(tmp):
@@ -55,7 +64,7 @@ def write_stage(df: DataFrame, root: str, stage: str, fingerprint: str | None = 
         "n_files": len(files),
         "files": files,
         "fingerprint": fingerprint,
-        "committed_at": time.time(),
+        "committed_at": time.time() if committed_at is None else committed_at,
     }
     with open(os.path.join(tmp, MANIFEST), "w") as fh:
         json.dump(manifest, fh, indent=1)
@@ -122,13 +131,22 @@ def compact_stage(
     part files wreck scan planning and footer IO). File count is sized
     from the CURRENT on-disk bytes; the rewrite reuses the same
     crash-safe rename commit as write_stage, and the manifest's
-    fingerprint is carried over so downstream fingerprint-gated resumes
-    stay valid (compaction changes layout, not content)."""
+    fingerprint AND committed_at are carried over so downstream
+    fingerprint-gated resumes stay valid (compaction changes layout,
+    not content — build_zones' cascade token folds in
+    fingerprint@committed_at, so a fresh timestamp here would force a
+    full downstream recompute, defeating compaction, ADVICE r3)."""
     m = read_manifest(root, stage)
     total_bytes = sum(f["bytes"] for f in m["files"])
     n_files = max(1, -(-total_bytes // target_bytes))  # ceil
     df = read_stage(spark, root, stage).coalesce(n_files)
-    out = write_stage(df, root, stage, fingerprint=m.get("fingerprint"))
+    out = write_stage(
+        df,
+        root,
+        stage,
+        fingerprint=m.get("fingerprint"),
+        committed_at=m.get("committed_at"),
+    )
     if out["n_rows"] != m["n_rows"]:  # paranoia: compaction must not drop rows
         raise RuntimeError(
             f"compaction row-count drift: {m['n_rows']} -> {out['n_rows']}"

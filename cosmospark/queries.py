@@ -1268,6 +1268,15 @@ def q_ngram_jaccard(spark, sf_dir, broadcast_budget_bytes: int | None = None):
         F.sum(F.length("text")).alias("b"), F.count("*").alias("n")
     ).collect()[0]
     tok_side_bytes = int(est["b"] or 0) + 64 * int(est["n"])
+    # localCheckpoint, NOT .cache() (ADVICE r3): it feeds the inverted
+    # index AND both re-score sides, but a catalog cache would outlive
+    # the query (composed callers like q_dedup_clusters re-invoke this
+    # and cached lineages pile up across calls — the deferred-driver-
+    # state degradation bench.py scrubs against). Checkpoint blocks are
+    # reference-counted by the ContextCleaner: they free automatically
+    # once the result DataFrame is dropped (session.py forces periodic
+    # driver GC), and the truncated lineage keeps downstream iterative
+    # plans (connected components) shallow.
     toks = (
         d.select(
             "doc_id",
@@ -1275,7 +1284,7 @@ def q_ngram_jaccard(spark, sf_dir, broadcast_budget_bytes: int | None = None):
             F.array_distinct(F.split("text", " ")).alias("toks"),
         )
         .withColumn("sz", F.size("toks"))
-        .cache()  # feeds the inverted index AND both re-score sides
+        .localCheckpoint(eager=True)
     )
     w = toks.select("doc_id", "source", "sz", F.explode("toks").alias("w"))
     dfreq = w.groupBy("w").agg(F.count("*").alias("dfn"))
@@ -1283,8 +1292,9 @@ def q_ngram_jaccard(spark, sf_dir, broadcast_budget_bytes: int | None = None):
     from pyspark.sql.window import Window
 
     win = Window.partitionBy("doc_id").orderBy("dfn", "w")
-    # cached: the prefix lineage (df join + per-doc window) feeds BOTH
-    # sides of the candidate self-join — uncached it executes twice.
+    # checkpointed: the prefix lineage (df join + per-doc window) feeds
+    # BOTH sides of the candidate self-join — unmaterialized it
+    # executes twice (same lifecycle rationale as ``toks`` above).
     # dfreq broadcast: VOCABULARY-sized (distinct tokens, ~16 B each),
     # not corpus-linear — Heaps' law keeps it sublinear in corpus size,
     # and the df-rank join must stay cheap for prefix filtering to pay.
@@ -1295,7 +1305,7 @@ def q_ngram_jaccard(spark, sf_dir, broadcast_budget_bytes: int | None = None):
         .withColumn("rn", F.row_number().over(win))
         .filter(F.col("rn") <= F.col("sz") - F.ceil(F.lit(_JACCARD_PF_T) * F.col("sz")) + 1)
         .select("doc_id", "source", "w", "rn", "sz")
-        .cache()
+        .localCheckpoint(eager=True)
     )
     # ppjoin-style EXACT pruning on top of the prefix join (both filters
     # are implied by jac ≥ t, so recall stays exact; both evaluate in

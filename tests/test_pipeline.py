@@ -276,8 +276,36 @@ class TestCompaction:
         assert out["n_files"] == 1  # everything fits one target file
         assert out["n_rows"] == 10_000
         assert out["fingerprint"] == "fp-1"  # resume point stays valid
+        # commit identity preserved: downstream cascade tokens fold in
+        # fingerprint@committed_at, so compaction must not re-stamp it
+        # (ADVICE r3 — a fresh timestamp forced full downstream
+        # recomputes, defeating compaction)
+        assert out["committed_at"] == before["committed_at"]
         got = sorted(r["x"] for r in ckpt.read_stage(spark, root, "frag").collect())
         assert got == list(range(10_000))
+
+    def test_compact_does_not_cascade_downstream(self, spark, tmp_path):
+        """Compacting an upstream pipeline stage must leave every
+        downstream stage resumable (no recompute on the next run)."""
+        import shutil
+
+        from cosmospark import checkpoint as ckpt
+        from cosmospark.fixtures import lux_world
+        from cosmospark.pipeline import build_zones
+        from cosmospark.typer import make_rules
+        from cosmospark.ztypes import ZONES_RAW_SCHEMA
+
+        root = str(tmp_path / "ck5")
+        raw = spark.createDataFrame(lux_world(), schema=ZONES_RAW_SCHEMA)
+        rules = make_rules(spark, [("LU", "2", "country"), ("LU", "6", "city")])
+        build_zones(spark, raw, rules, checkpoint_root=root).count()
+        lab_before = ckpt.read_manifest(root, "labelled")["committed_at"]
+
+        ckpt.compact_stage(spark, root, "prep", target_bytes=1 << 30)
+        build_zones(spark, raw, rules, checkpoint_root=root).count()
+        assert (
+            ckpt.read_manifest(root, "labelled")["committed_at"] == lab_before
+        ), "compaction of 'prep' cascaded a downstream recompute"
 
     def test_compact_respects_target_size(self, spark, tmp_path):
         from cosmospark import checkpoint as ckpt
