@@ -893,6 +893,79 @@ ORDER BY pid
 """
 
 
+_TILE_RAST_Z = 7  # tile-pyramid LUT zoom: pixels are z+3 sub-tiles
+
+
+def q_geo_raster_tile_assign(spark, sf_dir):
+    """Tile-PYRAMID raster assignment (the mercator analog of
+    geo_raster_assign): the zone dim rasterizes to per-z/x/y-tile pixel
+    bitsets, folds to a (tile, pixel→zone) LUT, and each point resolves
+    via one tile_xy(z+3) evaluation + equi-join + element_at. The
+    oracle re-derives the identical mercator pixel lattice in SQL."""
+    from cosmospark.raster import assign_zones_tiles_raster
+
+    out = assign_zones_tiles_raster(
+        _pts_df(spark), _lux_typed_zones(spark), z=_TILE_RAST_Z
+    )
+    return out.select("pid", "zone_id").orderBy("pid")
+
+
+def q_geo_raster_tile_assign_exact(spark, sf_dir):
+    """EXACT tile-pyramid raster assignment: stable mercator pixels
+    answer from the LUT, boundary pixels refine through the exact PIP
+    kernel — oracle is the exact rectangle-PIP argmin, proving the
+    accelerated path changes nothing."""
+    from cosmospark.raster import assign_zones_tiles_raster
+
+    out = assign_zones_tiles_raster(
+        _pts_df(spark), _lux_typed_zones(spark), z=_TILE_RAST_Z, exact=True
+    )
+    return out.select("pid", "zone_id").orderBy("pid")
+
+
+def sql_geo_raster_tile_assign():
+    n3 = (1 << _TILE_RAST_Z) * 8
+    n3f = float(n3)
+    merc = (
+        "(1.0 - ln(tan(radians({lat})) + 1.0 / cos(radians({lat}))) / pi()) / 2.0"
+    )
+    return f"""
+WITH zones AS (SELECT * FROM {_zones_values_sql()}),
+ij AS (
+  SELECT z.id AS zone_id, z.rank, z.area, gi.i, gj.j, z.minx, z.maxx, z.miny, z.maxy
+  FROM zones z,
+  LATERAL (SELECT unnest(generate_series(
+      CAST(floor((z.minx + 180.0) / 360.0 * {n3}) AS BIGINT) - 1,
+      CAST(ceil((z.maxx + 180.0) / 360.0 * {n3}) AS BIGINT) + 1)) AS i) gi,
+  LATERAL (SELECT unnest(generate_series(
+      CAST(floor({merc.format(lat="z.maxy")} * {n3}) AS BIGINT) - 1,
+      CAST(ceil({merc.format(lat="z.miny")} * {n3}) AS BIGINT) + 1)) AS j) gj
+),
+hit AS (
+  SELECT zone_id, rank, area, i, j FROM ij
+  WHERE (-180.0 + (i + 0.5) * 360.0 / {n3f!r}) BETWEEN minx AND maxx
+    AND degrees(atan((exp(pi() * (1.0 - 2.0 * ((j + 0.5) / {n3f!r})))
+                      - exp(-(pi() * (1.0 - 2.0 * ((j + 0.5) / {n3f!r}))))) / 2.0))
+        BETWEEN miny AND maxy
+),
+pts AS ({PTS_SQL}),
+penc AS (
+  SELECT pid,
+         least(greatest(CAST(floor((lon + 180.0) / 360.0 * {n3}) AS BIGINT), 0), {n3 - 1}) AS i,
+         least(greatest(CAST(floor({merc.format(lat="lat")} * {n3}) AS BIGINT), 0), {n3 - 1}) AS j
+  FROM pts
+),
+ranked AS (
+  SELECT p.pid, h.zone_id,
+         row_number() OVER (PARTITION BY p.pid ORDER BY h.rank, h.area, h.zone_id) AS rn
+  FROM penc p JOIN hit h ON h.i = p.i AND h.j = p.j
+)
+SELECT p.pid, CAST(COALESCE(r.zone_id, -1) AS BIGINT) AS zone_id
+FROM pts p LEFT JOIN (SELECT pid, zone_id FROM ranked WHERE rn = 1) r USING (pid)
+ORDER BY pid
+"""
+
+
 def sql_geo_rasterize():
     nf = (1 << _RAST_RES) * _RAST_PX
     k = _RAST_PX.bit_length() - 1  # px = 2^k
@@ -2509,6 +2582,8 @@ def queries() -> dict:
         "geo_rasterize": q_geo_rasterize,
         "geo_raster_assign": q_geo_raster_assign,
         "geo_raster_assign_exact": q_geo_raster_assign_exact,
+        "geo_raster_tile_assign": q_geo_raster_tile_assign,
+        "geo_raster_tile_assign_exact": q_geo_raster_tile_assign_exact,
         "events_window": q_events_window,
         "lang_id": q_lang_id,
         "ann_lsh": q_ann_lsh,
@@ -2583,6 +2658,9 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "geo_rasterize": sql_geo_rasterize(),
         "geo_raster_assign": sql_geo_raster_assign(),
         "geo_raster_assign_exact": _pip_oracle_core()
+        + "SELECT pid, zone_id FROM assigned ORDER BY pid",
+        "geo_raster_tile_assign": sql_geo_raster_tile_assign(),
+        "geo_raster_tile_assign_exact": _pip_oracle_core()
         + "SELECT pid, zone_id FROM assigned ORDER BY pid",
         "events_window": SQL_EVENTS_WINDOW,
         "lang_id": sql_lang_id(),

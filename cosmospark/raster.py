@@ -423,22 +423,10 @@ def _zone_bitset_row_batches(
         yield out
 
 
-def zone_pixel_lut(zones: DataFrame, res: int, exact: bool = False) -> DataFrame:
-    """Fold the rasterized zone dim into a per-cell PIXEL LOOKUP TABLE:
-    ``(cell, zone_arr)`` where ``zone_arr[pix]`` is the winning zone
-    (by the (rank, area, id) argmin, same tie-break as exact
-    assignment) of morton-pixel ``pix``, or -1. All aggregation happens
-    on the zone-dim side — at fact-join time there is nothing left to
-    resolve. Corpus-independent: build once, persist bucketed by
-    ``cell``, reuse for every fact table.
-
-    ``exact=True`` builds the STABILITY-aware LUT: a pixel is stable
-    iff every zone whose bbox touches the pixel rect fully covers it —
-    then every interior point of the pixel has the same winner, so the
-    LUT answer is EXACT. Unstable (boundary) pixels get sentinel -2 and
-    are refined by the exact kernel in ``assign_zones_raster``; pixels
-    no zone touches stay -1 (exactly unassigned)."""
-    rast = rasterize_zone_bitsets(zones, res)
+def _fold_pixel_lut(rast: DataFrame, exact: bool) -> DataFrame:
+    """Shared LUT fold over a (zone_id, rank, area, cell, mask_bits,
+    full_bits, touch_bits) bitset table — see ``zone_pixel_lut`` for the
+    semantics; ``tile_pixel_lut`` reuses it on the mercator grid."""
     sel = "mask_bits" if not exact else "touch_bits"
     per_pix = (
         rast.select(
@@ -482,6 +470,24 @@ def zone_pixel_lut(zones: DataFrame, res: int, exact: bool = False) -> DataFrame
             ),
         )
     )
+
+
+def zone_pixel_lut(zones: DataFrame, res: int, exact: bool = False) -> DataFrame:
+    """Fold the rasterized zone dim into a per-cell PIXEL LOOKUP TABLE:
+    ``(cell, zone_arr)`` where ``zone_arr[pix]`` is the winning zone
+    (by the (rank, area, id) argmin, same tie-break as exact
+    assignment) of morton-pixel ``pix``, or -1. All aggregation happens
+    on the zone-dim side — at fact-join time there is nothing left to
+    resolve. Corpus-independent: build once, persist bucketed by
+    ``cell``, reuse for every fact table.
+
+    ``exact=True`` builds the STABILITY-aware LUT: a pixel is stable
+    iff every zone whose bbox touches the pixel rect fully covers it —
+    then every interior point of the pixel has the same winner, so the
+    LUT answer is EXACT. Unstable (boundary) pixels get sentinel -2 and
+    are refined by the exact kernel in ``assign_zones_raster``; pixels
+    no zone touches stay -1 (exactly unassigned)."""
+    return _fold_pixel_lut(rasterize_zone_bitsets(zones, res), exact)
 
 
 def assign_zones_raster(
@@ -570,6 +576,317 @@ def assign_zones_raster(
     # boundary refinement honors the caller's strategy/budget — an
     # over-budget zone dim must not sneak back in through an ungated
     # full-geometry broadcast here (ADVICE r3)
+    kw = {}
+    if broadcast_budget_bytes is not None:
+        kw["broadcast_budget_bytes"] = broadcast_budget_bytes
+    refined = assign_zones(
+        boundary,
+        zones,
+        lon_col=lon_col,
+        lat_col=lat_col,
+        strategy=strategy,
+        id_col=id_col,
+        **kw,
+    )
+    return resolved.unionByName(refined)
+
+
+# ---------------------------------------------------------------------------
+# Mercator tile-pyramid LUT leg (VERDICT r3 #8): the same zero-shuffle
+# fact join as the quadkey LUT, but keyed on z/x/y web-mercator tiles —
+# "assign each image to its enclosing zone's tile pyramid". Pixels are
+# the 8×8 sub-tiles at zoom z+3, indexed ROW-MAJOR within the tile
+# ((y3 & 7) * 8 + (x3 & 7)), derivable on the fact side from one
+# tile_xy(z+3) evaluation.
+
+
+def _inv_mercator(yf: np.ndarray) -> np.ndarray:
+    """Fractional mercator y → latitude. sinh is spelled out as
+    (exp(t) - exp(-t)) / 2 so the DuckDB oracle (no sinh built-in in
+    this environment) evaluates the IDENTICAL expression tree."""
+    t = np.pi * (1.0 - 2.0 * yf)
+    return np.degrees(np.arctan((np.exp(t) - np.exp(-t)) / 2.0))
+
+
+def _tile_bounds(tx: np.ndarray, ty: np.ndarray, z: int):
+    """(minx, miny, maxx, maxy) of mercator tiles; y grows southward so
+    miny comes from ty+1."""
+    n = float(1 << z)
+    minx = -180.0 + tx * 360.0 / n
+    maxx = -180.0 + (tx + 1) * 360.0 / n
+    maxy = _inv_mercator(ty / n)
+    miny = _inv_mercator((ty + 1) / n)
+    return minx, miny, maxx, maxy
+
+
+def tile_raster_cover(
+    rr, z: int, stats: dict | None = None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """→ (full_tx, full_ty, bnd_tx, bnd_ty) at zoom ``z`` — the mercator
+    analog of ``zone_raster_cover`` (same FULL/EMPTY/BOUNDARY descent,
+    tile children are the 2×2 subdivision)."""
+    minx, miny, maxx, maxy = geom.bbox(rr)
+
+    def _tiles_at(zz):
+        tx0, ty1 = cells.tile_xy(np.array([minx]), np.array([miny]), zz)
+        tx1, ty0 = cells.tile_xy(np.array([maxx]), np.array([maxy]), zz)
+        return tx0[0], tx1[0], ty0[0], ty1[0]
+
+    z0 = z
+    while z0 > 1:
+        tx0, tx1, ty0, ty1 = _tiles_at(z0)
+        if (tx1 - tx0 + 1) * (ty1 - ty0 + 1) <= _START_CELLS:
+            break
+        z0 -= 1
+    tx0, tx1, ty0, ty1 = _tiles_at(z0)
+    gx, gy = np.meshgrid(
+        np.arange(tx0, tx1 + 1, dtype=np.int64),
+        np.arange(ty0, ty1 + 1, dtype=np.int64),
+        indexing="ij",
+    )
+    cx, cy = gx.ravel(), gy.ravel()
+    full_x: list[np.ndarray] = []
+    full_y: list[np.ndarray] = []
+    bx = by = np.empty(0, dtype=np.int64)
+    r = z0
+    while len(cx):
+        cls = geom.rects_classify(*_tile_bounds(cx, cy, r), rr)
+        if stats is not None:
+            stats["classify_calls"] = stats.get("classify_calls", 0) + 1
+            stats["cells_classified"] = stats.get("cells_classified", 0) + len(cx)
+        fx, fy = cx[cls == 1], cy[cls == 1]
+        if r == z:
+            if len(fx):
+                full_x.append(fx)
+                full_y.append(fy)
+            bx, by = cx[cls == 2], cy[cls == 2]
+            break
+        if len(fx):
+            k = z - r
+            side = np.arange(1 << k, dtype=np.int64)
+            # all (dx, dy) combinations of the 2^k × 2^k descendant block
+            ox = (fx[:, None] << k) + side[None, :]
+            oy = (fy[:, None] << k) + side[None, :]
+            gx2 = np.repeat(ox[:, :, None], 1 << k, axis=2)
+            gy2 = np.repeat(oy[:, None, :], 1 << k, axis=1)
+            full_x.append(gx2.ravel())
+            full_y.append(gy2.ravel())
+        cx, cy = cx[cls == 2], cy[cls == 2]
+        two = np.arange(2, dtype=np.int64)
+        nx = ((cx[:, None] << 1) + two[None, :])[:, :, None]
+        ny = ((cy[:, None] << 1) + two[None, :])[:, None, :]
+        cx = np.broadcast_to(nx, (len(cx), 2, 2)).ravel()
+        cy = np.broadcast_to(ny, (len(cy), 2, 2)).ravel()
+        r += 1
+    fxa = np.concatenate(full_x) if full_x else np.empty(0, dtype=np.int64)
+    fya = np.concatenate(full_y) if full_y else np.empty(0, dtype=np.int64)
+    return fxa, fya, bx, by
+
+
+def _tile_pixel_centers(tx: np.ndarray, ty: np.ndarray, z: int, px: int = 8):
+    """Pixel-center grids for mercator tiles: (ntiles, px, px) lon/lat,
+    row-major (row = southward step). Identical arithmetic to the SQL
+    oracle: cx = -180 + (x3+0.5)*360/n3, cy = inv_mercator((y3+0.5)/n3)."""
+    n = 1 << z
+    off = np.arange(px, dtype=np.float64)
+    x3 = tx[:, None] * px + off[None, :]
+    y3 = ty[:, None] * px + off[None, :]
+    n3f = float(n * px)
+    lon1 = -180.0 + (x3 + 0.5) * 360.0 / n3f
+    lat1 = _inv_mercator((y3 + 0.5) / n3f)
+    lon_c = np.repeat(lon1[:, None, :], px, axis=1)  # rows vary south
+    lat_c = np.repeat(lat1[:, :, None], px, axis=2)
+    return lon_c, lat_c
+
+
+def _zone_tile_bitset_row_batches(
+    zid, rk, area, rr, z: int, max_pixels: int, stats: dict | None = None
+) -> Iterator[list[dict]]:
+    """Mercator analog of ``_zone_bitset_row_batches``; pixel bit index
+    is ROW-MAJOR (y3&7)*8 + (x3&7) — no morton, because the fact side
+    computes (x3, y3) directly from tile_xy at z+3."""
+    px = 8
+    n3f = float((1 << z) * px)
+    pow2 = np.int64(1) << np.arange(64, dtype=np.int64)
+    base = {"zone_id": int(zid), "rank": int(rk), "area": float(area)}
+    key_hi = np.int64(z) << 58
+    fx, fy, bx, by = tile_raster_cover(rr, z, stats)
+    step = max(1, max_pixels // (px * px))
+    for s in range(0, len(fx), step):
+        cx, cy = fx[s : s + step], fy[s : s + step]
+        keys = key_hi | (cx << 29) | cy
+        yield [
+            dict(base, cell=int(kk), mask_bits=-1, full_bits=-1, touch_bits=-1)
+            for kk in keys
+        ]
+    for s in range(0, len(bx), step):
+        cx, cy = bx[s : s + step], by[s : s + step]
+        if stats is not None:
+            stats["kernel_calls"] = stats.get("kernel_calls", 0) + 1
+        nc = len(cx)
+        lon_c, lat_c = _tile_pixel_centers(cx, cy, z, px)
+        hit = geom.pip_covers(lon_c.ravel(), lat_c.ravel(), rr).reshape(
+            nc, px * px
+        )
+        # pixel rects: lon linear; lat rows span [inv((y3+1)/n3), inv(y3/n3)]
+        off = np.arange(px, dtype=np.float64)
+        x3 = cx[:, None] * px + off[None, :]
+        y3 = cy[:, None] * px + off[None, :]
+        wlon = 360.0 / n3f
+        pminx = np.repeat(
+            (-180.0 + x3 * 360.0 / n3f)[:, None, :], px, axis=1
+        ).ravel()
+        lat_top = np.repeat(_inv_mercator(y3 / n3f)[:, :, None], px, axis=2).ravel()
+        lat_bot = np.repeat(
+            _inv_mercator((y3 + 1) / n3f)[:, :, None], px, axis=2
+        ).ravel()
+        ehit = geom._rect_edge_hits(
+            pminx, lat_bot, pminx + wlon, lat_top, rr
+        ).reshape(nc, px * px)
+        fullv = hit & ~ehit
+        touchv = hit | ehit
+        bits = (hit * pow2[None, :]).sum(axis=1)
+        fbits = (fullv * pow2[None, :]).sum(axis=1)
+        tbits = (touchv * pow2[None, :]).sum(axis=1)
+        keys = key_hi | (cx << 29) | cy
+        out = []
+        for ci in np.nonzero(bits | tbits)[0]:
+            out.append(
+                dict(
+                    base,
+                    cell=int(keys[ci]),
+                    mask_bits=int(bits[ci]),
+                    full_bits=int(fbits[ci]),
+                    touch_bits=int(tbits[ci]),
+                )
+            )
+        yield out
+
+
+def rasterize_zone_bitsets_tiles(zones: DataFrame, z: int) -> DataFrame:
+    """Per (zone, z/x/y tile) 64-pixel bitsets on the mercator pyramid —
+    the joinable encoding behind ``tile_pixel_lut`` (same planet-safe
+    descent + chunking as the quadkey variant)."""
+    from cosmospark.hierarchy import type_rank_col
+    from cosmospark.ztypes import TYPE_RANK
+
+    rank = F.coalesce(type_rank_col(F.col("zone_type")), F.lit(len(TYPE_RANK)))
+    zz = zones.select(
+        F.col("id").alias("zone_id"), rank.cast("int").alias("rank"), "rings"
+    )
+    max_pixels = _default_max_pixels()
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "zone_id", "rank", "area", "cell",
+            "mask_bits", "full_bits", "touch_bits",
+        ]
+        for pdf in batches:
+            buf: list[dict] = []
+            for zid, rk, rrows in zip(pdf["zone_id"], pdf["rank"], pdf["rings"]):
+                if rrows is None or len(rrows) == 0:
+                    continue
+                rr = geom.rows_to_rings(rrows)
+                area = geom.area(rr)
+                for rows in _zone_tile_bitset_row_batches(
+                    zid, rk, area, rr, z, max_pixels
+                ):
+                    buf.extend(rows)
+                    if len(buf) >= 65536:
+                        yield pd.DataFrame(buf, columns=cols)
+                        buf = []
+            yield pd.DataFrame(buf, columns=cols)
+
+    return zz.mapInPandas(_run, _BITSET_SCHEMA)
+
+
+def tile_pixel_lut(zones: DataFrame, z: int, exact: bool = False) -> DataFrame:
+    """``zone_pixel_lut`` on the mercator tile pyramid: (tile_id,
+    zone_arr[64]) with the same argmin/stability semantics and build-mode
+    metadata. Column stays named ``cell`` (it carries the packed tile
+    id) so ``_fold_pixel_lut``/persistence tooling is shared."""
+    return _fold_pixel_lut(rasterize_zone_bitsets_tiles(zones, z), exact)
+
+
+_TILE_PIX_SCHEMA_EXTRA = [
+    T.StructField("_cell", T.LongType()),
+    T.StructField("_pix", T.IntegerType()),
+]
+
+
+def assign_zones_tiles_raster(
+    points: DataFrame,
+    zones: DataFrame,
+    z: int,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    id_col: str = "pid",
+    lut: DataFrame | None = None,
+    exact: bool = False,
+    strategy: str = "auto",
+    broadcast_budget_bytes: int | None = None,
+) -> DataFrame:
+    """Tile-pyramid raster assignment: ONE narrow Arrow pass computes
+    the zoom-z tile and the 8×8 sub-tile pixel index (tile_xy at z+3 —
+    the only Python on the fact path, and it rides the same pass that
+    tile-encodes facts anyway), then an equi-join on the tile id + an
+    ``element_at`` resolves the zone. ``exact=True`` refines boundary
+    pixels exactly as ``assign_zones_raster`` does."""
+    declared: bool | None = exact
+    if lut is None:
+        lut = tile_pixel_lut(zones, z, exact=exact)
+    else:
+        md = lut.schema["zone_arr"].metadata or {}
+        declared = md.get("lut_exact")
+        if declared is None:
+            if exact:
+                raise ValueError(
+                    "assign_zones_tiles_raster(exact=True) needs a LUT built "
+                    "by tile_pixel_lut(exact=True); the supplied LUT carries "
+                    "no lut_exact build-mode metadata"
+                )
+        elif bool(declared) != exact:
+            raise ValueError(
+                f"LUT build mode lut_exact={bool(declared)} disagrees with "
+                f"exact={exact}"
+            )
+
+    out_schema = T.StructType(points.schema.fields + _TILE_PIX_SCHEMA_EXTRA)
+    key_hi = z << 58
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lon = pdf[lon_col].to_numpy(dtype=np.float64)
+            lat = pdf[lat_col].to_numpy(dtype=np.float64)
+            x3, y3 = cells.tile_xy(lon, lat, z + 3)
+            pdf["_cell"] = key_hi | ((x3 >> 3) << 29) | (y3 >> 3)
+            pdf["_pix"] = ((y3 & 7) * 8 + (x3 & 7)).astype(np.int32)
+            yield pdf
+
+    enc = points.mapInPandas(_enc, out_schema)
+    out = (
+        enc.join(lut.withColumnRenamed("cell", "_cell"), "_cell", "left")
+        .withColumn(
+            "zone_id",
+            F.coalesce(F.expr("element_at(zone_arr, _pix + 1)"), F.lit(-1)).cast(
+                "long"
+            ),
+        )
+        .drop("_cell", "_pix", "zone_arr")
+    )
+    if not exact:
+        if declared is None:
+            out = out.withColumn(
+                "zone_id",
+                F.when(F.col("zone_id") == -2, F.lit(-1)).otherwise(
+                    F.col("zone_id")
+                ),
+            )
+        return out
+    from cosmospark.assign import assign_zones
+
+    resolved = out.filter(F.col("zone_id") != -2)
+    boundary = out.filter(F.col("zone_id") == -2).drop("zone_id")
     kw = {}
     if broadcast_budget_bytes is not None:
         kw["broadcast_budget_bytes"] = broadcast_budget_bytes
