@@ -2,7 +2,10 @@
 Spark and its oracle_sql() on DuckDB over the same parquet tables,
 compare row count + column names + exact values (order-insensitive).
 
-Runs at sf0.001 for speed; the driver runs the same at sf0.01.
+Runs at sf0.001 for speed by default; ``pytest -m slow`` additionally
+runs the FULL registry at sf0.01 — the driver's own scale — so every
+query has a current-round oracle check even when the driver subsamples
+(VERDICT r3 #9). Deselected from plain ``pytest`` runs via pytest.ini.
 """
 
 import duckdb
@@ -38,14 +41,36 @@ ORACLES = Q.oracle_sql(SF_DIR)
 NAMES = sorted(ORACLES)
 
 
-@pytest.mark.parametrize("name", NAMES)
-def test_parity(spark, con, name):
-    spark_df = Q.queries()[name](spark, SF_DIR).toPandas()
-    duck_df = con.sql(ORACLES[name]).df()
+def _check_parity(spark, con, name, sf_dir):
+    spark_df = Q.queries()[name](spark, sf_dir).toPandas()
+    duck_df = con.sql(Q.oracle_sql(sf_dir)[name]).df()
     assert sorted(spark_df.columns) == sorted(duck_df.columns), "column names differ"
     assert len(spark_df) == len(duck_df), "row counts differ"
     a, b = normalize(spark_df), normalize(duck_df)
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_parity(spark, con, name):
+    _check_parity(spark, con, name, SF_DIR)
+
+
+SF_DIR_SLOW = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def con_slow():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR_SLOW}/{t}.parquet'")
+    return c
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", NAMES)
+def test_parity_sf001(spark, con_slow, name):
+    """Driver-gate scale (sf0.01): run with `pytest -m slow`."""
+    _check_parity(spark, con_slow, name, SF_DIR_SLOW)
 
 
 def test_all_queries_have_entries():

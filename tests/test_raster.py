@@ -375,3 +375,78 @@ def test_lut_build_mode_validated_against_exact_flag(spark):
     # matching modes stay accepted
     assert assign_zones_raster(pts, zones, res=5, lut=lut_x, exact=True).count() == 10
     assert assign_zones_raster(pts, zones, res=5, lut=lut_a, exact=False).count() == 10
+
+
+def test_tile_raster_exact_equals_broadcast_everywhere(spark):
+    """assign_zones_tiles_raster(exact=True) must be bit-identical to
+    the broadcast PIP kernel on random (non-lattice) points — same
+    guarantee as the quadkey exact path, now on the mercator pyramid."""
+    import pyspark.sql.functions as F
+
+    from cosmospark.assign import assign_zones
+    from cosmospark.queries import _lux_typed_zones
+    from cosmospark.raster import assign_zones_tiles_raster
+
+    pts = spark.range(3000).select(
+        F.col("id").alias("pid"),
+        F.expr("cast(1.0 + (id * 7919 % 1500) / 100.0 as double)").alias("lon"),
+        F.expr("cast(43.5 + (id * 104729 % 1100) / 100.0 as double)").alias("lat"),
+    )
+    zones = _lux_typed_zones(spark)
+    exact = assign_zones_tiles_raster(pts, zones, z=6, exact=True).select(
+        "pid", "zone_id"
+    )
+    ref = assign_zones(pts, zones).select("pid", F.col("zone_id").alias("zr"))
+    assert exact.join(ref, "pid").filter("zone_id != zr").count() == 0
+
+
+def test_tile_raster_plan_shape(spark):
+    """Tile fact path: exactly TWO MapInPandas (the zone-dim rasterizer
+    + the one tile/pixel encode pass the fact side needs anyway), no
+    cartesian/nested-loop joins."""
+    import pyspark.sql.functions as F
+
+    from cosmospark.queries import _lux_typed_zones
+    from cosmospark.raster import assign_zones_tiles_raster
+
+    pts = spark.range(100).select(
+        F.col("id").alias("pid"),
+        (F.lit(2.0) + F.col("id") / 100.0).alias("lon"),
+        (F.lit(44.0) + F.col("id") / 100.0).alias("lat"),
+    )
+    df = assign_zones_tiles_raster(pts, _lux_typed_zones(spark), z=6)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 2, plan.count("MapInPandas")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tile_hierarchical_cover_sound():
+    """Mercator descent soundness: FULL tiles have all pixel centers
+    inside; tiles outside FULL∪BOUNDARY have none."""
+    import numpy as np
+
+    from cosmospark import cells, geom
+    from cosmospark.raster import _tile_pixel_centers, tile_raster_cover
+
+    rr = _star_rings()
+    z = 5
+    fx, fy, bx, by = tile_raster_cover(rr, z)
+    minx, miny, maxx, maxy = geom.bbox(rr)
+    tx0, ty1 = cells.tile_xy(np.array([minx]), np.array([miny]), z)
+    tx1, ty0 = cells.tile_xy(np.array([maxx]), np.array([maxy]), z)
+    gx, gy = np.meshgrid(
+        np.arange(tx0[0], tx1[0] + 1), np.arange(ty0[0], ty1[0] + 1), indexing="ij"
+    )
+    gx, gy = gx.ravel(), gy.ravel()
+    lon_c, lat_c = _tile_pixel_centers(gx, gy, z, 8)
+    hit = geom.pip_covers(lon_c.ravel(), lat_c.ravel(), rr).reshape(len(gx), 64)
+    full_s = set(zip(fx.tolist(), fy.tolist()))
+    bnd_s = set(zip(bx.tolist(), by.tolist()))
+    assert full_s.isdisjoint(bnd_s)
+    for i, t in enumerate(zip(gx.tolist(), gy.tolist())):
+        if t in full_s:
+            assert hit[i].all(), f"FULL tile {t} has an outside pixel"
+        elif t not in bnd_s:
+            assert not hit[i].any(), f"skipped tile {t} has an inside pixel"
+    assert len(full_s) > 0 and len(bnd_s) > 0
