@@ -282,6 +282,24 @@ def main() -> None:
     raster_exact_images_per_sec = round(n_pip / rex_sec) if rex_sec > 0 else 0
     assert n_rex == n_assigned, "exact raster disagrees with broadcast"
 
+    # --- tile-pyramid raster LUT (r4): same LUT join keyed on mercator
+    # z/x/y tiles; fact side pays one tile_xy(z+3) Arrow pass
+    from cosmospark.raster import assign_zones_tiles_raster, tile_pixel_lut
+
+    lut_t = tile_pixel_lut(zones, z=9).localCheckpoint()
+    rtile_df = assign_zones_tiles_raster(pts, zones, z=9, lut=lut_t).filter(
+        F.col("zone_id") >= 0
+    )
+    rtile_df.count()  # warm
+    rtile_sec, n_rtile = float("inf"), 0
+    for _ in range(n_runs_hl):
+        t0 = time.time()
+        n_rtile = rtile_df.count()
+        rtile_sec = min(rtile_sec, time.time() - t0)
+        _scrub()
+    timings["pip_assign_raster_tile"] = round(rtile_sec, 3)
+    raster_tile_images_per_sec = round(n_pip / rtile_sec) if rtile_sec > 0 else 0
+
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -302,6 +320,7 @@ def main() -> None:
         "partitioned_images_per_sec": partitioned_images_per_sec,
         "raster_images_per_sec": raster_images_per_sec,
         "raster_exact_images_per_sec": raster_exact_images_per_sec,
+        "raster_tile_images_per_sec": raster_tile_images_per_sec,
         "raster_assigned_rows": n_rast,
     }
     print(json.dumps(result))
