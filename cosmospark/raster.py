@@ -492,7 +492,7 @@ def zone_pixel_lut(zones: DataFrame, res: int, exact: bool = False) -> DataFrame
 
 def assign_zones_raster(
     points: DataFrame,
-    zones: DataFrame,
+    zones: DataFrame | None,
     res: int,
     lon_col: str = "lon",
     lat_col: str = "lat",
@@ -522,6 +522,12 @@ def assign_zones_raster(
     perimeter-scale fraction at fine ``res``) run the exact PIP kernel
     via the fallback strategy."""
     declared: bool | None = exact
+    if zones is None and (lut is None or exact):
+        raise ValueError(
+            "zones may be None only with a prebuilt non-exact LUT (the "
+            "streaming stream-static shape); exact mode needs the zone "
+            "geometry for boundary refinement"
+        )
     if lut is None:
         lut = zone_pixel_lut(zones, res, exact=exact)
     else:
@@ -816,7 +822,7 @@ _TILE_PIX_SCHEMA_EXTRA = [
 
 def assign_zones_tiles_raster(
     points: DataFrame,
-    zones: DataFrame,
+    zones: DataFrame | None,
     z: int,
     lon_col: str = "lon",
     lat_col: str = "lat",
@@ -833,6 +839,12 @@ def assign_zones_tiles_raster(
     ``element_at`` resolves the zone. ``exact=True`` refines boundary
     pixels exactly as ``assign_zones_raster`` does."""
     declared: bool | None = exact
+    if zones is None and (lut is None or exact):
+        raise ValueError(
+            "zones may be None only with a prebuilt non-exact LUT (the "
+            "streaming stream-static shape); exact mode needs the zone "
+            "geometry for boundary refinement"
+        )
     if lut is None:
         lut = tile_pixel_lut(zones, z, exact=exact)
     else:

@@ -201,3 +201,26 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
         .outputMode(output_mode)
         .start()
     )
+
+
+def assign_zones_stream(
+    points_stream: DataFrame,
+    lut: DataFrame,
+    res: int,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Streaming raster zone assignment: the STREAM-STATIC shape of
+    ``raster.assign_zones_raster``. The pixel LUT is corpus-independent
+    and static (built once from the zone dim, persisted bucketed by
+    cell), so each micro-batch is Morton-encode (JVM) → equi-join
+    against the static LUT → ``element_at`` — stateless, no watermark
+    needed, and the static side is re-broadcast only when the LUT
+    DataFrame changes. This is how a 10^12-row *continuous* ingest keeps
+    geo-tagging at raster-join throughput: the geometry work was all
+    paid at LUT build time."""
+    from cosmospark.raster import assign_zones_raster
+
+    return assign_zones_raster(
+        points_stream, None, res, lon_col=lon_col, lat_col=lat_col, lut=lut
+    )

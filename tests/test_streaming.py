@@ -316,3 +316,40 @@ class TestStreamingAssignment:
         assert len(got) == 6
         assert {r["pid"]: r["zone_id"] for r in got} == want
         assert all(r["zone_id"] >= 0 for r in got)
+
+
+def test_streaming_raster_zone_assignment(spark, tmp_path):
+    """Stream-static LUT join: a file-source point stream geo-tags
+    through the SAME pixel LUT as the batch path, and the streamed
+    assignments equal the batch raster assignments row-for-row."""
+    import pyspark.sql.functions as F
+
+    from cosmospark.queries import _lux_typed_zones
+    from cosmospark.raster import assign_zones_raster, zone_pixel_lut
+    from cosmospark.streaming import assign_zones_stream, run_to_memory
+
+    zones = _lux_typed_zones(spark)
+    lut = zone_pixel_lut(zones, res=6).localCheckpoint()
+    pts = spark.range(500).select(
+        F.col("id").alias("pid"),
+        F.expr("cast(2.0 + (id * 7919 % 1300) / 100.0 as double)").alias("lon"),
+        F.expr("cast(44.0 + (id * 104729 % 1000) / 100.0 as double)").alias("lat"),
+    )
+    src = str(tmp_path / "pts_stream")
+    pts.coalesce(2).write.parquet(src)
+    stream = spark.readStream.schema(pts.schema).parquet(src)
+    out = assign_zones_stream(stream, lut, res=6)
+    q = run_to_memory(out, "stream_assign")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["pid"], r["zone_id"])
+        for r in spark.table("stream_assign").collect()
+    }
+    want = {
+        (r["pid"], r["zone_id"])
+        for r in assign_zones_raster(pts, zones, res=6, lut=lut).collect()
+    }
+    assert got == want and len(got) == 500
