@@ -55,6 +55,18 @@ RULES_CONTAINED_SCHEMA = T.StructType(
         T.StructField("zone_type", T.StringType(), False),
     ]
 )
+# id overrides scoped to a container's sub-rules (zone_typer.rs:196-204:
+# every CountryAdminTypeRules carries its own overrides.id map, and the
+# contained_by recursion checks it FIRST): "inside container, zone
+# osm_id types as zone_type (NULL = explicitly untyped)"
+RULES_CONTAINED_ID_SCHEMA = T.StructType(
+    [
+        T.StructField("country", T.StringType(), False),
+        T.StructField("container_osm_id", T.StringType(), False),
+        T.StructField("osm_id", T.StringType(), False),
+        T.StructField("zone_type", T.StringType(), True),
+    ]
+)
 # second nesting hop (zone_typer.rs:143-157 evaluates contained_by
 # RECURSIVELY; libpostal data nests at most one extra level in practice,
 # so two hops cover it — deeper nests raise at parse time rather than
@@ -183,11 +195,22 @@ def parse_libpostal_yaml(country: str, text: str) -> tuple[list, list, list]:
             id_rules.append((cc, f"{otype}:{oid}", zt))  # None = explicitly untyped
     contained = []
     contained2 = []
+    contained_ids = []
     for otype, m in (ovr.get("contained_by") or {}).items():
         for oid, sub in m.items():
             if not isinstance(sub, dict):
                 raise ValueError(f"{country}: contained_by {oid!r} must be a rule map")
             outer = f"{otype}:{oid}"
+            # the sub-rules' own id overrides — the recursion checks
+            # these before the nested contained_by and the level map
+            for otype_i, m_i in ((sub.get("overrides") or {}).get("id") or {}).items():
+                for oid_i, zt in m_i.items():
+                    if zt is not None and not isinstance(zt, str):
+                        raise ValueError(
+                            f"{country}: contained_by {oid!r} id override "
+                            f"{oid_i!r} must be scalar"
+                        )
+                    contained_ids.append((cc, outer, f"{otype_i}:{oid_i}", zt))
             for lvl, zt in (sub.get("admin_level") or {}).items():
                 if not isinstance(zt, str):
                     raise ValueError(
@@ -217,7 +240,7 @@ def parse_libpostal_yaml(country: str, text: str) -> tuple[list, list, list]:
                         contained2.append(
                             (cc, outer, f"{otype2}:{oid2}", str(lvl), zt)
                         )
-    return levels, id_rules, contained, contained2
+    return levels, id_rules, contained, contained2, contained_ids
 
 
 def load_libpostal_rules(spark: SparkSession, folder: str) -> dict[str, DataFrame]:
@@ -232,13 +255,14 @@ def load_libpostal_rules(spark: SparkSession, folder: str) -> dict[str, DataFram
     id_rules: list = []
     contained: list = []
     contained2: list = []
+    contained_ids: list = []
     for name in sorted(os.listdir(folder)):
         if not (name.endswith(".yaml") or name.endswith(".yml")):
             continue
         cc = os.path.splitext(name)[0]
         try:
             with open(os.path.join(folder, name), encoding="utf-8") as fh:
-                lv, ids, cb, cb2 = parse_libpostal_yaml(cc, fh.read())
+                lv, ids, cb, cb2, cbi = parse_libpostal_yaml(cc, fh.read())
         except ValueError as e:
             warnings.warn(f"skipping rules file {name}: {e}", stacklevel=2)
             continue
@@ -246,7 +270,8 @@ def load_libpostal_rules(spark: SparkSession, folder: str) -> dict[str, DataFram
         id_rules.extend(ids)
         contained.extend(cb)
         contained2.extend(cb2)
-    return make_rules(spark, levels, id_rules, contained, contained2)
+        contained_ids.extend(cbi)
+    return make_rules(spark, levels, id_rules, contained, contained2, contained_ids)
 
 
 def make_rules(
@@ -255,6 +280,7 @@ def make_rules(
     id_overrides: list[tuple] = (),
     contained_by: list[tuple] = (),
     contained_by2: list[tuple] = (),
+    contained_id_overrides: list[tuple] = (),
 ) -> dict[str, DataFrame]:
     return {
         "levels": spark.createDataFrame(list(levels), RULES_LEVELS_SCHEMA),
@@ -262,6 +288,9 @@ def make_rules(
         "contained_by": spark.createDataFrame(list(contained_by), RULES_CONTAINED_SCHEMA),
         "contained_by2": spark.createDataFrame(
             list(contained_by2), RULES_CONTAINED2_SCHEMA
+        ),
+        "contained_id_overrides": spark.createDataFrame(
+            list(contained_id_overrides), RULES_CONTAINED_ID_SCHEMA
         ),
     }
 
@@ -383,6 +412,27 @@ def type_zones(zones: DataFrame, inclusions: DataFrame, rules: dict[str, DataFra
         "left",
     ).drop("_sr_country", "_sr_container", "_sr_level")
 
+    # (2a') the chosen container's own id-override map — the recursion
+    # (get_overrided_type of the sub-rules) checks it BEFORE the nested
+    # contained_by and the level map; explicit NULL = explicitly untyped
+    sub_ids = rules.get("contained_id_overrides")
+    if sub_ids is not None:
+        si = sub_ids.select(
+            F.col("country").alias("_si_country"),
+            F.col("container_osm_id").alias("_si_container"),
+            F.col("osm_id").alias("_si_osm_id"),
+            F.coalesce(F.col("zone_type"), F.lit(EXPLICIT_NONE)).alias("_si_type"),
+        )
+        z = z.join(
+            F.broadcast(si),
+            (F.col("country_code") == F.col("_si_country"))
+            & (F.col("_chosen_container") == F.col("_si_container"))
+            & (F.col("osm_id") == F.col("_si_osm_id")),
+            "left",
+        ).drop("_si_country", "_si_container", "_si_osm_id")
+    else:
+        z = z.withColumn("_si_type", F.lit(None).cast("string"))
+
     # (2b) second RECURSIVE hop (zone_typer.rs:143-157: get_zone_type on
     # the chosen container's rules re-enters contained_by before its
     # admin_level map): among the child's parents, the most specific one
@@ -449,16 +499,28 @@ def type_zones(zones: DataFrame, inclusions: DataFrame, rules: dict[str, DataFra
         "left",
     ).drop("_df_country", "_df_level")
 
-    # the inner (recursive) hop outranks the outer container's own
-    # admin_level map — the reference checks get_overrided_type of the
-    # sub-rules before their level map
-    typed = F.when(
-        F.col("_ov_type").isNotNull(),
-        F.when(F.col("_ov_type") == EXPLICIT_NONE, F.lit(None)).otherwise(F.col("_ov_type")),
-    ).otherwise(F.coalesce(F.col("_s2_type"), F.col("_sr_type"), F.col("_df_type")))
+    # precedence mirrors the recursion: outer id override, then within
+    # the chosen container its OWN id override (explicit-NULL capable),
+    # then the inner contained_by hop, then the container's level map,
+    # then the country defaults
+    typed = (
+        F.when(
+            F.col("_ov_type").isNotNull(),
+            F.when(F.col("_ov_type") == EXPLICIT_NONE, F.lit(None)).otherwise(
+                F.col("_ov_type")
+            ),
+        )
+        .when(
+            F.col("_si_type").isNotNull(),
+            F.when(F.col("_si_type") == EXPLICIT_NONE, F.lit(None)).otherwise(
+                F.col("_si_type")
+            ),
+        )
+        .otherwise(F.coalesce(F.col("_s2_type"), F.col("_sr_type"), F.col("_df_type")))
+    )
 
     return z.withColumn("zone_type", typed).drop(
-        "_ov_type", "_s2_type", "_sr_type", "_df_type", "_chosen_container"
+        "_ov_type", "_si_type", "_s2_type", "_sr_type", "_df_type", "_chosen_container"
     )
 
 

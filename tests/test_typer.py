@@ -167,7 +167,7 @@ class TestLibpostalYaml:
     def test_basic(self):
         from cosmospark.typer import parse_libpostal_yaml
 
-        levels, ids, contained, contained2 = parse_libpostal_yaml("lu", self.BASIC)
+        levels, ids, contained, contained2, contained_ids = parse_libpostal_yaml("lu", self.BASIC)
         assert ("LU", "3", "country") in levels
         assert ("LU", "5", "city_district") in levels
         assert ids == [] and contained == []
@@ -184,14 +184,14 @@ class TestLibpostalYaml:
     def test_contained_by(self):
         from cosmospark.typer import parse_libpostal_yaml
 
-        levels, ids, contained, contained2 = parse_libpostal_yaml("lu", self.CONTAINED)
+        levels, ids, contained, contained2, contained_ids = parse_libpostal_yaml("lu", self.CONTAINED)
         assert ("LU", "2", "country") in levels
         assert ("LU", "relation:407489", "9", "city_district") in contained
 
     def test_id_overrides_with_explicit_null(self):
         from cosmospark.typer import parse_libpostal_yaml
 
-        levels, ids, contained, contained2 = parse_libpostal_yaml("lu", self.ID_OVERRIDES)
+        levels, ids, contained, contained2, contained_ids = parse_libpostal_yaml("lu", self.ID_OVERRIDES)
         assert ("LU", "relation:1803923", "city_district") in ids
         assert ("LU", "relation:42", None) in ids
 
@@ -262,7 +262,7 @@ overrides:
     def test_parse_two_levels(self):
         from cosmospark.typer import parse_libpostal_yaml
 
-        levels, ids, cb, cb2 = parse_libpostal_yaml("fr", self.TWO_LEVEL_YAML)
+        levels, ids, cb, cb2, cbi = parse_libpostal_yaml("fr", self.TWO_LEVEL_YAML)
         assert ("FR", "relation:100", "8", "state_district") in cb
         assert cb2 == [("FR", "relation:100", "relation:200", "8", "suburb")]
 
@@ -283,7 +283,7 @@ overrides:
     def test_second_hop_typing(self, spark):
         from cosmospark.typer import parse_libpostal_yaml
 
-        levels, ids, cb, cb2 = parse_libpostal_yaml("fr", self.TWO_LEVEL_YAML)
+        levels, ids, cb, cb2, cbi = parse_libpostal_yaml("fr", self.TWO_LEVEL_YAML)
         rules = make_rules(spark, levels, ids, cb, cb2)
         # zone 1: inside outer 100 AND inner 200 → suburb (inner hop)
         # zone 2: inside outer 100 only → state_district (outer sub-map)
@@ -306,3 +306,52 @@ overrides:
         assert got["relation:1"] == "suburb"
         assert got["relation:2"] == "state_district"
         assert got["relation:3"] == "city"
+
+
+class TestContainedByIdOverrides:
+    """The chosen container's OWN overrides.id map (zone_typer.rs:
+    196-204): checked by the recursion before the nested contained_by
+    and the container's level map; explicit NULL untypes."""
+
+    YAML = """
+admin_level:
+  "8": city
+overrides:
+  contained_by:
+    relation:
+      "100":
+        admin_level:
+          "8": state_district
+        overrides:
+          id:
+            relation:
+              "1": suburb
+              "2": null
+"""
+
+    def test_sub_id_override_precedence(self, spark):
+        from cosmospark.typer import parse_libpostal_yaml
+
+        levels, ids, cb, cb2, cbi = parse_libpostal_yaml("fr", self.YAML)
+        assert ("FR", "relation:100", "relation:1", "suburb") in cbi
+        assert ("FR", "relation:100", "relation:2", None) in cbi
+        rules = make_rules(spark, levels, ids, cb, cb2, cbi)
+        zones = spark.createDataFrame(
+            [
+                (1, "relation:1", 8, "FR"),   # sub id override → suburb
+                (2, "relation:2", 8, "FR"),   # explicit NULL → untyped
+                (3, "relation:3", 8, "FR"),   # falls to the level map
+                (10, "relation:100", 4, "FR"),
+            ],
+            "id long, osm_id string, admin_level int, country_code string",
+        )
+        inclusions = spark.createDataFrame(
+            [(1, 10), (2, 10), (3, 10)], "child long, parent long"
+        )
+        got = {
+            r["osm_id"]: r["zone_type"]
+            for r in type_zones(zones, inclusions, rules).collect()
+        }
+        assert got["relation:1"] == "suburb"
+        assert got["relation:2"] is None
+        assert got["relation:3"] == "state_district"
