@@ -230,3 +230,44 @@ class TestCoversProperties:
         A = [(0, 0, xs, ys), hole]
         B = [(0, 0, cx + 0.6 * (xs - cx), cy + 0.6 * (ys - cy))]
         assert not geom.covers(A, B)
+
+
+class TestRectsClassifyProperties:
+    """rects_classify soundness on random concave polygons: class 0
+    (OUTSIDE) rects contain no interior point of the polygon; class 1
+    (FULL) rects are entirely inside. Verified against a dense point
+    grid per rect. (Class 2 carries no claim — it pays the kernel.)"""
+
+    @given(star_polys())
+    @settings(max_examples=40, deadline=None)
+    def test_full_and_empty_sound(self, poly):
+        cx, cy, xs, ys = poly
+        rr = [(0, 0, xs, ys)]
+        minx, miny, maxx, maxy = geom.bbox(rr)
+        # a grid of candidate rects spanning past the bbox
+        k = 9
+        exs = np.linspace(minx - 0.3, maxx + 0.3, k + 1)
+        eys = np.linspace(miny - 0.3, maxy + 0.3, k + 1)
+        r_minx, r_miny, r_maxx, r_maxy = [], [], [], []
+        for i in range(k):
+            for j in range(k):
+                r_minx.append(exs[i]); r_maxx.append(exs[i + 1])
+                r_miny.append(eys[j]); r_maxy.append(eys[j + 1])
+        r_minx = np.array(r_minx); r_miny = np.array(r_miny)
+        r_maxx = np.array(r_maxx); r_maxy = np.array(r_maxy)
+        cls = geom.rects_classify(r_minx, r_miny, r_maxx, r_maxy, rr)
+        m = 8
+        for idx in range(len(cls)):
+            if cls[idx] == 2:
+                continue
+            gx, gy = np.meshgrid(
+                np.linspace(r_minx[idx], r_maxx[idx], m),
+                np.linspace(r_miny[idx], r_maxy[idx], m),
+            )
+            gx, gy = gx.ravel(), gy.ravel()
+            inside = geom.pip(gx, gy, rr) & ~geom.on_boundary(gx, gy, rr, eps=1e-9)
+            outside = ~(geom.pip(gx, gy, rr) | geom.on_boundary(gx, gy, rr, eps=1e-9))
+            if cls[idx] == 1:
+                assert not outside.any(), "FULL rect has an outside point"
+            else:
+                assert not inside.any(), "OUTSIDE rect has an interior point"

@@ -450,3 +450,43 @@ def test_tile_hierarchical_cover_sound():
         elif t not in bnd_s:
             assert not hit[i].any(), f"skipped tile {t} has an inside pixel"
     assert len(full_s) > 0 and len(bnd_s) > 0
+
+
+def test_tile_lut_persisted_bucketed_joins_without_lut_exchange(spark, tmp_path):
+    """Tile-pyramid LUT: same bucketed-persistence contract as the
+    quadkey LUT — no Exchange over the persisted LUT scan, results
+    identical to the in-memory path, and the lut_exact build-mode
+    metadata survives the bucketed round trip."""
+    import pyspark.sql.functions as F
+
+    from cosmospark.bucketing import read_bucketed, write_bucketed
+    from cosmospark.queries import _lux_typed_zones
+    from cosmospark.raster import assign_zones_tiles_raster, tile_pixel_lut
+
+    zones = _lux_typed_zones(spark)
+    lut = tile_pixel_lut(zones, z=6)
+    write_bucketed(lut, "lut_tiles_t", str(tmp_path / "lut_t"), ["cell"], 8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        lut_b = read_bucketed(spark, "lut_tiles_t")
+        assert lut_b.schema["zone_arr"].metadata == {"lut_exact": False}
+        pts = spark.range(2000).select(
+            F.col("id").alias("pid"),
+            (F.col("id") % 130 / 10.0 + 2.0).alias("lon"),
+            (F.col("id") % 100 / 10.0 + 44.0).alias("lat"),
+        )
+        out = assign_zones_tiles_raster(pts, zones, z=6, lut=lut_b)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount" in plan
+        lut_scan_prefix = plan.split("SelectedBucketsCount")[0]
+        assert "Exchange" not in lut_scan_prefix.split("Scan parquet")[-1]
+        base = assign_zones_tiles_raster(pts, zones, z=6).select(
+            "pid", "zone_id"
+        ).collect()
+        got = out.select("pid", "zone_id").collect()
+        assert sorted((r["pid"], r["zone_id"]) for r in got) == sorted(
+            (r["pid"], r["zone_id"]) for r in base
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
