@@ -2202,7 +2202,13 @@ def q_simhash_pairs(spark, sf_dir):
     must agree on ≥ 1 band) — equi-join on (source, band, bits), exact
     bit_count(xor) verification. No cartesian; exact recall."""
     d = _t(spark, sf_dir, "documents")
-    fp = d.select("doc_id", "source", _simhash_fp_col().alias("simhash"))
+    # materialize fingerprints ONCE: without this the 64-lane fold
+    # expression inlines into the band generator and both self-join
+    # sides — ~8 full fold evaluations per doc (measured 5.3 s → 1.5 s
+    # at sf0.1). Checkpoint blocks free with the plan (ContextCleaner).
+    fp = d.select(
+        "doc_id", "source", _simhash_fp_col().alias("simhash")
+    ).localCheckpoint(eager=True)
     width = SIMHASH_BITS // SIMHASH_BANDS
     band_arr = F.array(
         *[
