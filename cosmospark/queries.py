@@ -1976,12 +1976,16 @@ def q_minhash_lsh_pairs(spark, sf_dir):
         "transform(sequence(0, size(split(text, ' ')) - 3), "
         "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"
     )
-    # cached: this lineage is consumed 5× (both join sides of the band
-    # bucket join + both sides of the exact-Jaccard verification)
+    # eagerly materialized: this lineage is consumed 5× (both join
+    # sides of the band bucket join + both sides of the exact-Jaccard
+    # verification). localCheckpoint, not .cache(): blocks free with
+    # the plan via the ContextCleaner instead of accumulating catalog
+    # cache entries across composed calls (same rationale as
+    # q_ngram_jaccard, ADVICE r3).
     shingled = (
         d.select("doc_id", F.array_distinct(sh).alias("shingles"))
         .filter(F.size("shingles") > 0)
-        .cache()
+        .localCheckpoint(eager=True)
     )
     n_hash, n_bands = 16, 4
     mh_cols = [
@@ -2002,7 +2006,7 @@ def q_minhash_lsh_pairs(spark, sf_dir):
         )
     from functools import reduce
 
-    banded = reduce(lambda a, c: a.unionByName(c), bands).cache()
+    banded = reduce(lambda a, c: a.unionByName(c), bands).localCheckpoint(eager=True)
     cand = (
         banded.alias("a")
         .join(
