@@ -912,3 +912,69 @@ def assign_zones_tiles_raster(
         **kw,
     )
     return resolved.unionByName(refined)
+
+
+# ---------------------------------------------------------------------------
+# Incremental LUT maintenance: at planet scale the zone dim is a living
+# table (boundary edits land daily), and rebuilding a full pixel LUT for
+# one changed zone re-rasterizes 10^6 zones for nothing. The persisted
+# BITSET table (rasterize_zone_bitsets output, bucketed by cell) is the
+# maintenance state: an edit replaces one zone's rows and re-folds ONLY
+# the cells that zone touches (old footprint ∪ new footprint) — work
+# proportional to the edit, not the planet.
+
+
+def incremental_lut_update(
+    bitsets: DataFrame,
+    changed_zones: DataFrame | None,
+    removed_zone_ids: list[int],
+    res: int,
+    exact: bool = False,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Apply a zone-dim edit to a persisted bitset table.
+
+    ``changed_zones``: zones added or modified (full new rows, reference
+    zone schema); ``removed_zone_ids``: ids to drop (a modified zone's
+    id may appear in both — its old rows are replaced either way).
+
+    Returns ``(new_bitsets, affected_cells, lut_patch)``:
+      * ``new_bitsets``  — the updated maintenance table;
+      * ``affected_cells`` — the (cell,) keys whose LUT rows are stale
+        (old ∪ new footprint of every touched zone);
+      * ``lut_patch``    — re-folded LUT rows for exactly those cells
+        (a cell whose coverage vanished is absent: delete it).
+    Apply with ``apply_lut_patch``. Every step is a key join on
+    cell/zone_id — bucketed storage keeps them co-located."""
+    changed_new = (
+        rasterize_zone_bitsets(changed_zones, res)
+        if changed_zones is not None
+        else None
+    )
+    touched_ids = list(removed_zone_ids)
+    if changed_zones is not None:
+        touched_ids += [
+            int(r["id"]) for r in changed_zones.select("id").distinct().collect()
+        ]
+    old_rows = bitsets.filter(F.col("zone_id").isin(touched_ids))
+    kept = bitsets.filter(~F.col("zone_id").isin(touched_ids))
+    new_bitsets = (
+        kept.unionByName(changed_new) if changed_new is not None else kept
+    )
+    affected = old_rows.select("cell")
+    if changed_new is not None:
+        affected = affected.unionByName(changed_new.select("cell"))
+    affected_cells = affected.distinct().localCheckpoint(eager=True)
+    lut_patch = _fold_pixel_lut(
+        new_bitsets.join(affected_cells, "cell", "left_semi"), exact
+    )
+    return new_bitsets, affected_cells, lut_patch
+
+
+def apply_lut_patch(
+    lut: DataFrame, affected_cells: DataFrame, lut_patch: DataFrame
+) -> DataFrame:
+    """Merge an incremental patch into a LUT: drop every affected cell's
+    old row, append the re-folded rows (cells with no remaining coverage
+    simply have no patch row → deleted). The relational form of a MERGE
+    — on a lakehouse table this is one DELETE+INSERT on the cell key."""
+    return lut.join(affected_cells, "cell", "left_anti").unionByName(lut_patch)

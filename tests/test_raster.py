@@ -490,3 +490,74 @@ def test_tile_lut_persisted_bucketed_joins_without_lut_exchange(spark, tmp_path)
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_incremental_lut_update_equals_full_rebuild(spark):
+    """A zone-dim edit (one zone's geometry modified, one zone removed)
+    applied through incremental_lut_update must produce EXACTLY the LUT
+    a from-scratch rebuild produces, while re-folding only the edited
+    zones' footprint cells."""
+    import pyspark.sql.functions as F
+
+    from cosmospark.queries import _lux_typed_zones
+    from cosmospark.raster import (
+        apply_lut_patch,
+        incremental_lut_update,
+        rasterize_zone_bitsets,
+        zone_pixel_lut,
+    )
+
+    res = 7
+    zones = _lux_typed_zones(spark)
+    # edit two SMALL zones (communes), so the affected-cell set is a
+    # tiny fraction of the LUT — the locality this operator exists for
+    from cosmospark import geom
+
+    small = sorted(
+        (
+            (geom.area(geom.rows_to_rings(r["rings"])), r["id"])
+            for r in zones.select("id", "rings").collect()
+            if r["rings"]
+        )
+    )[:2]
+    mod_id, rm_id = small[0][1], small[1][1]
+
+    bitsets0 = rasterize_zone_bitsets(zones, res).localCheckpoint()
+    lut0 = zone_pixel_lut(zones, res).localCheckpoint()
+
+    # the edit: shift mod_id's geometry east 0.3°, drop rm_id entirely
+    shifted = zones.filter(F.col("id") == mod_id).withColumn(
+        "rings",
+        F.expr(
+            "transform(rings, r -> named_struct("
+            "'poly', r.poly, 'ring', r.ring,"
+            "'xs', transform(r.xs, x -> x + 0.3), 'ys', r.ys))"
+        ),
+    )
+    zones_after = zones.filter(~F.col("id").isin([mod_id, rm_id])).unionByName(
+        shifted
+    )
+
+    new_bitsets, affected, patch = incremental_lut_update(
+        bitsets0, shifted, [rm_id], res
+    )
+    lut_inc = apply_lut_patch(lut0, affected, patch)
+    lut_full = zone_pixel_lut(zones_after, res)
+
+    def lut_set(df):
+        return {
+            (r["cell"], tuple(r["zone_arr"])) for r in df.collect()
+        }
+
+    assert lut_set(lut_inc) == lut_set(lut_full)
+    # the refold was edit-local: far fewer cells than the whole LUT
+    n_affected = affected.count()
+    n_lut = lut0.count()
+    assert n_affected < n_lut / 2, (n_affected, n_lut)
+    # maintenance table consistent with a from-scratch rasterization
+    want = rasterize_zone_bitsets(zones_after, res)
+    assert new_bitsets.count() == want.count()
+    assert (
+        new_bitsets.exceptAll(want).limit(1).count() == 0
+        and want.exceptAll(new_bitsets).limit(1).count() == 0
+    )
