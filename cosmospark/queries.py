@@ -966,6 +966,121 @@ ORDER BY pid
 """
 
 
+def _lut_edit_ids() -> tuple[int, int]:
+    """Deterministic zone-dim edit fixture for the incremental-LUT
+    query: (modified_id, removed_id) = the two smallest-bbox zones."""
+    sized = sorted(
+        (
+            (b["maxx"] - b["minx"]) * (b["maxy"] - b["miny"]),
+            r["id"],
+        )
+        for _, r in _lux_typed_rows()
+        for b in [r["bbox"]]
+    )
+    return sized[0][1], sized[1][1]
+
+
+_LUT_EDIT_SHIFT = 0.3
+
+
+def q_geo_lut_incremental(spark, sf_dir):
+    """Incremental LUT maintenance under a zone-dim edit: shift the
+    smallest zone east by 0.3°, remove the second smallest, patch the
+    persisted LUT via incremental_lut_update/apply_lut_patch (re-folds
+    ONLY the edited zones' footprint cells), and emit the patched LUT
+    exploded to (cell, pix, zone_id) rows. The oracle re-derives the
+    ENTIRE post-edit LUT from the pixel lattice in SQL — equality
+    proves both the LUT fold and the incremental merge."""
+    from cosmospark.raster import (
+        apply_lut_patch,
+        incremental_lut_update,
+        rasterize_zone_bitsets,
+        zone_pixel_lut,
+    )
+
+    mod_id, rm_id = _lut_edit_ids()
+    zones = _lux_typed_zones(spark)
+    bitsets0 = rasterize_zone_bitsets(zones, _RAST_RES)
+    lut0 = zone_pixel_lut(zones, _RAST_RES)
+    shifted = zones.filter(F.col("id") == mod_id).withColumn(
+        "rings",
+        F.expr(
+            "transform(rings, r -> named_struct("
+            "'poly', r.poly, 'ring', r.ring,"
+            f"'xs', transform(r.xs, x -> x + {_LUT_EDIT_SHIFT!r}), 'ys', r.ys))"
+        ),
+    )
+    _, affected, patch = incremental_lut_update(
+        bitsets0, shifted, [rm_id], _RAST_RES
+    )
+    lut = apply_lut_patch(lut0, affected, patch)
+    return (
+        lut.select("cell", F.posexplode("zone_arr").alias("pix", "zone_id"))
+        .select("cell", F.col("pix").cast("long"), F.col("zone_id").cast("long"))
+        .orderBy("cell", "pix")
+    )
+
+
+def sql_geo_lut_incremental():
+    """Post-edit LUT from first principles: enumerate the edited zone
+    set's pixel lattice, argmin per pixel, 64-slot fill per covered
+    cell."""
+    mod_id, rm_id = _lut_edit_ids()
+    nf = (1 << _RAST_RES) * _RAST_PX
+    vals = []
+    for _, r in _lux_typed_rows():
+        if r["id"] == rm_id:
+            continue
+        b = r["bbox"]
+        minx, maxx = b["minx"], b["maxx"]
+        if r["id"] == mod_id:
+            minx, maxx = minx + _LUT_EDIT_SHIFT, maxx + _LUT_EDIT_SHIFT
+        area = (maxx - minx) * (b["maxy"] - b["miny"])
+        # explicit DOUBLE casts: the 17-digit reprs of shifted bounds
+        # otherwise make DuckDB infer a DECIMAL too narrow for ±180
+        vals.append(
+            f"({r['id']}, CAST({minx!r} AS DOUBLE), CAST({b['miny']!r} AS DOUBLE), "
+            f"CAST({maxx!r} AS DOUBLE), CAST({b['maxy']!r} AS DOUBLE), "
+            f"{TYPE_RANK[r['zone_type']]}, CAST({area!r} AS DOUBLE))"
+        )
+    zones_sql = (
+        "(VALUES " + ", ".join(vals) + ") AS z(id, minx, miny, maxx, maxy, rank, area)"
+    )
+    cellm = cells.sql_morton("(i >> 3)", "(j >> 3)", _RAST_RES)
+    pixm = cells.sql_morton("(i & 7)", "(j & 7)", 3)
+    return f"""
+WITH zones AS (SELECT * FROM {zones_sql}),
+ij AS (
+  SELECT z.id AS zone_id, z.rank, z.area, gi.i, gj.j, z.minx, z.maxx, z.miny, z.maxy
+  FROM zones z,
+  LATERAL (SELECT unnest(generate_series(
+      CAST(floor((z.minx + 180.0) / 360.0 * {nf}) AS BIGINT) - 1,
+      CAST(ceil((z.maxx + 180.0) / 360.0 * {nf}) AS BIGINT) + 1)) AS i) gi,
+  LATERAL (SELECT unnest(generate_series(
+      CAST(floor((z.miny + 90.0) / 180.0 * {nf}) AS BIGINT) - 1,
+      CAST(ceil((z.maxy + 90.0) / 180.0 * {nf}) AS BIGINT) + 1)) AS j) gj
+),
+hit AS (
+  SELECT zone_id, rank, area, i, j FROM ij
+  WHERE (-180.0 + (i + 0.5) * 360.0 / {float(nf)!r}) BETWEEN minx AND maxx
+    AND (-90.0 + (j + 0.5) * 180.0 / {float(nf)!r}) BETWEEN miny AND maxy
+),
+win AS (
+  SELECT i, j, zone_id FROM (
+    SELECT i, j, zone_id,
+           row_number() OVER (PARTITION BY i, j ORDER BY rank, area, zone_id) AS rn
+    FROM hit) WHERE rn = 1
+),
+winkey AS (SELECT {cellm} AS cell, {pixm} AS pix, zone_id FROM win),
+cellset AS (SELECT DISTINCT cell FROM winkey),
+allpix AS (SELECT c.cell, p.range AS pix FROM cellset c CROSS JOIN range(64) p)
+SELECT a.cell AS cell, a.pix AS pix,
+       CAST(COALESCE(w.zone_id, -1) AS BIGINT) AS zone_id
+FROM allpix a LEFT JOIN winkey w ON w.cell = a.cell AND w.pix = a.pix
+ORDER BY a.cell, a.pix
+"""
+
+
 def sql_geo_rasterize():
     nf = (1 << _RAST_RES) * _RAST_PX
     k = _RAST_PX.bit_length() - 1  # px = 2^k
@@ -2594,6 +2709,7 @@ def queries() -> dict:
         "geo_raster_assign_exact": q_geo_raster_assign_exact,
         "geo_raster_tile_assign": q_geo_raster_tile_assign,
         "geo_raster_tile_assign_exact": q_geo_raster_tile_assign_exact,
+        "geo_lut_incremental": q_geo_lut_incremental,
         "events_window": q_events_window,
         "lang_id": q_lang_id,
         "ann_lsh": q_ann_lsh,
@@ -2672,6 +2788,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "geo_raster_tile_assign": sql_geo_raster_tile_assign(),
         "geo_raster_tile_assign_exact": _pip_oracle_core()
         + "SELECT pid, zone_id FROM assigned ORDER BY pid",
+        "geo_lut_incremental": sql_geo_lut_incremental(),
         "events_window": SQL_EVENTS_WINDOW,
         "lang_id": sql_lang_id(),
         "ann_lsh": sql_ann_lsh(_emb_dim(sf_dir)),
