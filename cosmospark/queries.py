@@ -893,6 +893,55 @@ ORDER BY pid
 """
 
 
+def q_geo_tile_pyramid(spark, sf_dir):
+    """Hierarchical rollup UP the mercator tile pyramid (the tile-side
+    analog of geo_multires_rollup): aggregate once at z=12, then
+    REAGGREGATE the counts to z=11 and z=10 by integer zoom shifts —
+    each coarser level reduces the previous level's aggregates, never
+    rescans the facts. All whole-stage codegen."""
+    enc = encode_points(_pts_df(spark), resolutions=(7,), tile_z=12)
+    mask = F.lit((1 << 29) - 1)
+    finest = (
+        enc.select(
+            F.shiftright("tile_id", 29).bitwiseAND(mask).alias("tx"),
+            F.col("tile_id").bitwiseAND(mask).alias("ty"),
+        )
+        .groupBy("tx", "ty")
+        .agg(F.count("*").alias("n"))
+    )
+    levels = [finest.select(F.lit(12).alias("z"), "tx", "ty", "n")]
+    prev = finest
+    for z in (11, 10):
+        prev = (
+            prev.groupBy(
+                F.shiftright("tx", 1).alias("tx"), F.shiftright("ty", 1).alias("ty")
+            )
+            .agg(F.sum("n").cast("long").alias("n"))
+        )
+        levels.append(prev.select(F.lit(z).alias("z"), "tx", "ty", "n"))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.orderBy("z", "tx", "ty")
+
+
+SQL_TILE_PYRAMID = f"""
+WITH pts AS ({PTS_SQL}),
+t AS (
+  SELECT
+    CAST(floor((lon + 180.0) / 360.0 * 4096) AS BIGINT) AS tx,
+    CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 4096) AS BIGINT) AS ty
+  FROM pts),
+a12 AS (SELECT tx, ty, COUNT(*) AS n FROM t GROUP BY tx, ty),
+a11 AS (SELECT tx >> 1 AS tx, ty >> 1 AS ty, CAST(SUM(n) AS BIGINT) AS n FROM a12 GROUP BY 1, 2),
+a10 AS (SELECT tx >> 1 AS tx, ty >> 1 AS ty, CAST(SUM(n) AS BIGINT) AS n FROM a11 GROUP BY 1, 2)
+SELECT 12 AS z, tx, ty, n FROM a12
+UNION ALL SELECT 11 AS z, tx, ty, n FROM a11
+UNION ALL SELECT 10 AS z, tx, ty, n FROM a10
+ORDER BY z, tx, ty
+"""
+
+
 _TILE_RAST_Z = 7  # tile-pyramid LUT zoom: pixels are z+3 sub-tiles
 
 
@@ -2710,6 +2759,7 @@ def queries() -> dict:
         "geo_raster_tile_assign": q_geo_raster_tile_assign,
         "geo_raster_tile_assign_exact": q_geo_raster_tile_assign_exact,
         "geo_lut_incremental": q_geo_lut_incremental,
+        "geo_tile_pyramid": q_geo_tile_pyramid,
         "events_window": q_events_window,
         "lang_id": q_lang_id,
         "ann_lsh": q_ann_lsh,
@@ -2789,6 +2839,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "geo_raster_tile_assign_exact": _pip_oracle_core()
         + "SELECT pid, zone_id FROM assigned ORDER BY pid",
         "geo_lut_incremental": sql_geo_lut_incremental(),
+        "geo_tile_pyramid": SQL_TILE_PYRAMID,
         "events_window": SQL_EVENTS_WINDOW,
         "lang_id": sql_lang_id(),
         "ann_lsh": sql_ann_lsh(_emb_dim(sf_dir)),
