@@ -500,9 +500,14 @@ def type_zones(zones: DataFrame, inclusions: DataFrame, rules: dict[str, DataFra
     ).drop("_df_country", "_df_level")
 
     # precedence mirrors the recursion: outer id override, then within
-    # the chosen container its OWN id override (explicit-NULL capable),
-    # then the inner contained_by hop, then the container's level map,
-    # then the country defaults
+    # the chosen container its OWN id override, then the inner
+    # contained_by hop, then the container's level map, then the
+    # country defaults. One asymmetry that IS the reference's behavior
+    # (zone_typer.rs:151-156: the sub-rules' Option<ZoneType> result is
+    # flattened with `.map(Some)`, losing the explicit-null marker): an
+    # explicit-NULL id override inside a container skips the
+    # container's own maps but FALLS THROUGH to the country defaults —
+    # only a top-level explicit-NULL override untypes a zone outright.
     typed = (
         F.when(
             F.col("_ov_type").isNotNull(),
@@ -512,7 +517,7 @@ def type_zones(zones: DataFrame, inclusions: DataFrame, rules: dict[str, DataFra
         )
         .when(
             F.col("_si_type").isNotNull(),
-            F.when(F.col("_si_type") == EXPLICIT_NONE, F.lit(None)).otherwise(
+            F.when(F.col("_si_type") == EXPLICIT_NONE, F.col("_df_type")).otherwise(
                 F.col("_si_type")
             ),
         )

@@ -311,7 +311,10 @@ overrides:
 class TestContainedByIdOverrides:
     """The chosen container's OWN overrides.id map (zone_typer.rs:
     196-204): checked by the recursion before the nested contained_by
-    and the container's level map; explicit NULL untypes."""
+    and the container's level map. An explicit NULL here does NOT
+    untype: the reference flattens the sub-rules' result with
+    `.map(Some)` (zone_typer.rs:151-156), so it skips the container's
+    maps and falls through to the country defaults."""
 
     YAML = """
 admin_level:
@@ -339,8 +342,9 @@ overrides:
         zones = spark.createDataFrame(
             [
                 (1, "relation:1", 8, "FR"),   # sub id override → suburb
-                (2, "relation:2", 8, "FR"),   # explicit NULL → untyped
-                (3, "relation:3", 8, "FR"),   # falls to the level map
+                (2, "relation:2", 8, "FR"),   # explicit NULL → skips the
+                #   container's maps, falls to the country default (city)
+                (3, "relation:3", 8, "FR"),   # falls to the container map
                 (10, "relation:100", 4, "FR"),
             ],
             "id long, osm_id string, admin_level int, country_code string",
@@ -353,5 +357,5 @@ overrides:
             for r in type_zones(zones, inclusions, rules).collect()
         }
         assert got["relation:1"] == "suburb"
-        assert got["relation:2"] is None
+        assert got["relation:2"] == "city"
         assert got["relation:3"] == "state_district"
