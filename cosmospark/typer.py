@@ -81,6 +81,16 @@ RULES_CONTAINED2_SCHEMA = T.StructType(
         T.StructField("zone_type", T.StringType(), False),
     ]
 )
+# id overrides scoped to the INNER (second-hop) container's sub-rules
+RULES_CONTAINED2_ID_SCHEMA = T.StructType(
+    [
+        T.StructField("country", T.StringType(), False),
+        T.StructField("outer_container_osm_id", T.StringType(), False),
+        T.StructField("inner_container_osm_id", T.StringType(), False),
+        T.StructField("osm_id", T.StringType(), False),
+        T.StructField("zone_type", T.StringType(), True),
+    ]
+)
 
 
 # ---------------------------------------------------------------------------
@@ -196,6 +206,7 @@ def parse_libpostal_yaml(country: str, text: str) -> tuple[list, list, list]:
     contained = []
     contained2 = []
     contained_ids = []
+    contained_ids2 = []
     for otype, m in (ovr.get("contained_by") or {}).items():
         for oid, sub in m.items():
             if not isinstance(sub, dict):
@@ -231,16 +242,27 @@ def parse_libpostal_yaml(country: str, text: str) -> tuple[list, list, list]:
                             f"{country}: contained_by nesting deeper than 2 "
                             "levels is not supported"
                         )
+                    inner = f"{otype2}:{oid2}"
+                    for otype_j, m_j in (
+                        (sub2.get("overrides") or {}).get("id") or {}
+                    ).items():
+                        for oid_j, zt in m_j.items():
+                            if zt is not None and not isinstance(zt, str):
+                                raise ValueError(
+                                    f"{country}: contained_by {oid2!r} id "
+                                    f"override {oid_j!r} must be scalar"
+                                )
+                            contained_ids2.append(
+                                (cc, outer, inner, f"{otype_j}:{oid_j}", zt)
+                            )
                     for lvl, zt in (sub2.get("admin_level") or {}).items():
                         if not isinstance(zt, str):
                             raise ValueError(
                                 f"{country}: contained_by {oid2!r} "
                                 f"admin_level[{lvl!r}] must be scalar"
                             )
-                        contained2.append(
-                            (cc, outer, f"{otype2}:{oid2}", str(lvl), zt)
-                        )
-    return levels, id_rules, contained, contained2, contained_ids
+                        contained2.append((cc, outer, inner, str(lvl), zt))
+    return levels, id_rules, contained, contained2, contained_ids, contained_ids2
 
 
 def load_libpostal_rules(spark: SparkSession, folder: str) -> dict[str, DataFrame]:
@@ -256,13 +278,14 @@ def load_libpostal_rules(spark: SparkSession, folder: str) -> dict[str, DataFram
     contained: list = []
     contained2: list = []
     contained_ids: list = []
+    contained_ids2: list = []
     for name in sorted(os.listdir(folder)):
         if not (name.endswith(".yaml") or name.endswith(".yml")):
             continue
         cc = os.path.splitext(name)[0]
         try:
             with open(os.path.join(folder, name), encoding="utf-8") as fh:
-                lv, ids, cb, cb2, cbi = parse_libpostal_yaml(cc, fh.read())
+                lv, ids, cb, cb2, cbi, cbi2 = parse_libpostal_yaml(cc, fh.read())
         except ValueError as e:
             warnings.warn(f"skipping rules file {name}: {e}", stacklevel=2)
             continue
@@ -271,7 +294,10 @@ def load_libpostal_rules(spark: SparkSession, folder: str) -> dict[str, DataFram
         contained.extend(cb)
         contained2.extend(cb2)
         contained_ids.extend(cbi)
-    return make_rules(spark, levels, id_rules, contained, contained2, contained_ids)
+        contained_ids2.extend(cbi2)
+    return make_rules(
+        spark, levels, id_rules, contained, contained2, contained_ids, contained_ids2
+    )
 
 
 def make_rules(
@@ -281,6 +307,7 @@ def make_rules(
     contained_by: list[tuple] = (),
     contained_by2: list[tuple] = (),
     contained_id_overrides: list[tuple] = (),
+    contained_id_overrides2: list[tuple] = (),
 ) -> dict[str, DataFrame]:
     return {
         "levels": spark.createDataFrame(list(levels), RULES_LEVELS_SCHEMA),
@@ -291,6 +318,9 @@ def make_rules(
         ),
         "contained_id_overrides": spark.createDataFrame(
             list(contained_id_overrides), RULES_CONTAINED_ID_SCHEMA
+        ),
+        "contained_id_overrides2": spark.createDataFrame(
+            list(contained_id_overrides2), RULES_CONTAINED2_ID_SCHEMA
         ),
     }
 
@@ -373,10 +403,30 @@ def type_zones(zones: DataFrame, inclusions: DataFrame, rules: dict[str, DataFra
     ).drop("_ov_country", "_ov_osm_id")
 
     # (2) contained_by: pick the most specific container that HAS
-    # sub-rules, then evaluate its admin_level sub-map for this zone
+    # sub-rules, then evaluate its rule maps for this zone. A container
+    # exists if ANY of its maps has entries — its level map, its own id
+    # overrides, or a nested contained_by (a container with only
+    # overrides.id must still be selectable, else its rules never apply)
+    container_sources = [
+        rules["contained_by"].select("country", "container_osm_id")
+    ]
+    if rules.get("contained_id_overrides") is not None:
+        container_sources.append(
+            rules["contained_id_overrides"].select("country", "container_osm_id")
+        )
+    if rules.get("contained_by2") is not None:
+        container_sources.append(
+            rules["contained_by2"].select(
+                "country", F.col("outer_container_osm_id").alias("container_osm_id")
+            )
+        )
+    containers_all = container_sources[0]
+    for src in container_sources[1:]:
+        containers_all = containers_all.unionByName(src)
     containers = (
-        rules["contained_by"]
-        .select(F.col("country").alias("_cb_country"), F.col("container_osm_id"))
+        containers_all.select(
+            F.col("country").alias("_cb_country"), "container_osm_id"
+        )
         .distinct()
     )
     parent_ids = zones.select(
@@ -438,8 +488,19 @@ def type_zones(zones: DataFrame, inclusions: DataFrame, rules: dict[str, DataFra
     # admin_level map): among the child's parents, the most specific one
     # carrying sub-rules NESTED under the chosen outer container
     inner_rules = rules.get("contained_by2")
+    inner_ids = rules.get("contained_id_overrides2")
     if inner_rules is not None:
-        containers2 = inner_rules.select(
+        # an inner container exists if EITHER of its maps has entries
+        inner_keys = inner_rules.select(
+            "country", "outer_container_osm_id", "inner_container_osm_id"
+        )
+        if inner_ids is not None:
+            inner_keys = inner_keys.unionByName(
+                inner_ids.select(
+                    "country", "outer_container_osm_id", "inner_container_osm_id"
+                )
+            )
+        containers2 = inner_keys.select(
             F.col("country").alias("_cb2_country"),
             F.col("outer_container_osm_id").alias("_cb2_outer"),
             F.col("inner_container_osm_id").alias("_cb2_inner"),
@@ -483,9 +544,34 @@ def type_zones(zones: DataFrame, inclusions: DataFrame, rules: dict[str, DataFra
             & (F.col("_chosen_inner") == F.col("_s2_inner"))
             & (lvl == F.col("_s2_level")),
             "left",
-        ).drop("_s2_country", "_s2_outer", "_s2_inner", "_s2_level", "_chosen_inner")
+        ).drop("_s2_country", "_s2_outer", "_s2_inner", "_s2_level")
+        # (2b') the INNER container's own id-override map — checked by
+        # the inner recursion before the inner level map
+        if inner_ids is not None:
+            i2 = inner_ids.select(
+                F.col("country").alias("_i2_country"),
+                F.col("outer_container_osm_id").alias("_i2_outer"),
+                F.col("inner_container_osm_id").alias("_i2_inner"),
+                F.col("osm_id").alias("_i2_osm_id"),
+                F.coalesce(F.col("zone_type"), F.lit(EXPLICIT_NONE)).alias(
+                    "_i2_type"
+                ),
+            )
+            z = z.join(
+                F.broadcast(i2),
+                (F.col("country_code") == F.col("_i2_country"))
+                & (F.col("_chosen_container") == F.col("_i2_outer"))
+                & (F.col("_chosen_inner") == F.col("_i2_inner"))
+                & (F.col("osm_id") == F.col("_i2_osm_id")),
+                "left",
+            ).drop("_i2_country", "_i2_outer", "_i2_inner", "_i2_osm_id")
+        else:
+            z = z.withColumn("_i2_type", F.lit(None).cast("string"))
+        z = z.drop("_chosen_inner")
     else:
-        z = z.withColumn("_s2_type", F.lit(None).cast("string"))
+        z = z.withColumn("_s2_type", F.lit(None).cast("string")).withColumn(
+            "_i2_type", F.lit(None).cast("string")
+        )
 
     # (3) country default admin_level map
     defaults = rules["levels"].select(
@@ -521,11 +607,22 @@ def type_zones(zones: DataFrame, inclusions: DataFrame, rules: dict[str, DataFra
                 F.col("_si_type")
             ),
         )
+        .when(
+            F.col("_i2_type").isNotNull(),
+            # inner explicit-NULL: the inner rules yield nothing, so the
+            # sub falls past its contained_by to its OWN level map, then
+            # the country defaults (same Option flattening as _si)
+            F.when(
+                F.col("_i2_type") == EXPLICIT_NONE,
+                F.coalesce(F.col("_sr_type"), F.col("_df_type")),
+            ).otherwise(F.col("_i2_type")),
+        )
         .otherwise(F.coalesce(F.col("_s2_type"), F.col("_sr_type"), F.col("_df_type")))
     )
 
     return z.withColumn("zone_type", typed).drop(
-        "_ov_type", "_si_type", "_s2_type", "_sr_type", "_df_type", "_chosen_container"
+        "_ov_type", "_si_type", "_i2_type", "_s2_type", "_sr_type", "_df_type",
+        "_chosen_container",
     )
 
 

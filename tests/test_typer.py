@@ -167,7 +167,7 @@ class TestLibpostalYaml:
     def test_basic(self):
         from cosmospark.typer import parse_libpostal_yaml
 
-        levels, ids, contained, contained2, contained_ids = parse_libpostal_yaml("lu", self.BASIC)
+        levels, ids, contained, contained2, contained_ids, contained_ids2 = parse_libpostal_yaml("lu", self.BASIC)
         assert ("LU", "3", "country") in levels
         assert ("LU", "5", "city_district") in levels
         assert ids == [] and contained == []
@@ -184,14 +184,14 @@ class TestLibpostalYaml:
     def test_contained_by(self):
         from cosmospark.typer import parse_libpostal_yaml
 
-        levels, ids, contained, contained2, contained_ids = parse_libpostal_yaml("lu", self.CONTAINED)
+        levels, ids, contained, contained2, contained_ids, contained_ids2 = parse_libpostal_yaml("lu", self.CONTAINED)
         assert ("LU", "2", "country") in levels
         assert ("LU", "relation:407489", "9", "city_district") in contained
 
     def test_id_overrides_with_explicit_null(self):
         from cosmospark.typer import parse_libpostal_yaml
 
-        levels, ids, contained, contained2, contained_ids = parse_libpostal_yaml("lu", self.ID_OVERRIDES)
+        levels, ids, contained, contained2, contained_ids, contained_ids2 = parse_libpostal_yaml("lu", self.ID_OVERRIDES)
         assert ("LU", "relation:1803923", "city_district") in ids
         assert ("LU", "relation:42", None) in ids
 
@@ -262,7 +262,7 @@ overrides:
     def test_parse_two_levels(self):
         from cosmospark.typer import parse_libpostal_yaml
 
-        levels, ids, cb, cb2, cbi = parse_libpostal_yaml("fr", self.TWO_LEVEL_YAML)
+        levels, ids, cb, cb2, cbi, cbi2 = parse_libpostal_yaml("fr", self.TWO_LEVEL_YAML)
         assert ("FR", "relation:100", "8", "state_district") in cb
         assert cb2 == [("FR", "relation:100", "relation:200", "8", "suburb")]
 
@@ -283,8 +283,8 @@ overrides:
     def test_second_hop_typing(self, spark):
         from cosmospark.typer import parse_libpostal_yaml
 
-        levels, ids, cb, cb2, cbi = parse_libpostal_yaml("fr", self.TWO_LEVEL_YAML)
-        rules = make_rules(spark, levels, ids, cb, cb2)
+        levels, ids, cb, cb2, cbi, cbi2 = parse_libpostal_yaml("fr", self.TWO_LEVEL_YAML)
+        rules = make_rules(spark, levels, ids, cb, cb2, cbi, cbi2)
         # zone 1: inside outer 100 AND inner 200 → suburb (inner hop)
         # zone 2: inside outer 100 only → state_district (outer sub-map)
         # zone 3: inside neither → city (country default)
@@ -335,10 +335,10 @@ overrides:
     def test_sub_id_override_precedence(self, spark):
         from cosmospark.typer import parse_libpostal_yaml
 
-        levels, ids, cb, cb2, cbi = parse_libpostal_yaml("fr", self.YAML)
+        levels, ids, cb, cb2, cbi, cbi2 = parse_libpostal_yaml("fr", self.YAML)
         assert ("FR", "relation:100", "relation:1", "suburb") in cbi
         assert ("FR", "relation:100", "relation:2", None) in cbi
-        rules = make_rules(spark, levels, ids, cb, cb2, cbi)
+        rules = make_rules(spark, levels, ids, cb, cb2, cbi, cbi2)
         zones = spark.createDataFrame(
             [
                 (1, "relation:1", 8, "FR"),   # sub id override → suburb
@@ -359,3 +359,93 @@ overrides:
         assert got["relation:1"] == "suburb"
         assert got["relation:2"] == "city"
         assert got["relation:3"] == "state_district"
+
+
+class TestContainerSelectionCompleteness:
+    """A container that carries ONLY id overrides (or only a nested
+    contained_by) — no admin_level sub-map — must still be selectable
+    as the chosen container, else its rules silently never apply."""
+
+    ONLY_IDS = """
+admin_level:
+  "8": city
+overrides:
+  contained_by:
+    relation:
+      "100":
+        overrides:
+          id:
+            relation:
+              "1": suburb
+"""
+
+    def test_id_only_container_applies(self, spark):
+        from cosmospark.typer import parse_libpostal_yaml
+
+        parsed = parse_libpostal_yaml("fr", self.ONLY_IDS)
+        rules = make_rules(spark, *parsed)
+        zones = spark.createDataFrame(
+            [(1, "relation:1", 8, "FR"), (10, "relation:100", 4, "FR")],
+            "id long, osm_id string, admin_level int, country_code string",
+        )
+        inclusions = spark.createDataFrame([(1, 10)], "child long, parent long")
+        got = {
+            r["osm_id"]: r["zone_type"]
+            for r in type_zones(zones, inclusions, rules).collect()
+        }
+        assert got["relation:1"] == "suburb"
+
+    INNER_IDS = """
+admin_level:
+  "8": city
+overrides:
+  contained_by:
+    relation:
+      "100":
+        admin_level:
+          "8": state_district
+        overrides:
+          contained_by:
+            relation:
+              "200":
+                admin_level:
+                  "8": city_district
+                overrides:
+                  id:
+                    relation:
+                      "1": suburb
+                      "2": null
+"""
+
+    def test_inner_container_id_overrides(self, spark):
+        """Depth-2 id overrides: the inner container's own id map wins
+        over its level map; inner explicit NULL falls past the inner
+        rules to the OUTER container's level map (Option flattening)."""
+        from cosmospark.typer import parse_libpostal_yaml
+
+        parsed = parse_libpostal_yaml("fr", self.INNER_IDS)
+        assert ("FR", "relation:100", "relation:200", "relation:1", "suburb") in parsed[5]
+        rules = make_rules(spark, *parsed)
+        zones = spark.createDataFrame(
+            [
+                (1, "relation:1", 8, "FR"),  # inner id override → suburb
+                (2, "relation:2", 8, "FR"),  # inner explicit NULL → outer map
+                (3, "relation:3", 8, "FR"),  # inner level map → city_district
+                (4, "relation:4", 8, "FR"),  # only outer → state_district
+                (10, "relation:100", 4, "FR"),
+                (20, "relation:200", 6, "FR"),
+            ],
+            "id long, osm_id string, admin_level int, country_code string",
+        )
+        inclusions = spark.createDataFrame(
+            [(1, 10), (1, 20), (2, 10), (2, 20), (3, 10), (3, 20), (4, 10), (20, 10)],
+            "child long, parent long",
+        )
+        got = {
+            r["osm_id"]: r["zone_type"]
+            for r in type_zones(zones, inclusions, rules).collect()
+        }
+        assert got["relation:1"] == "suburb"
+        assert got["relation:2"] == "state_district"
+        assert got["relation:3"] == "city_district"
+        assert got["relation:4"] == "state_district"
