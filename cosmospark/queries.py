@@ -973,6 +973,18 @@ def q_geo_raster_tile_assign_exact(spark, sf_dir):
 
 
 def sql_geo_raster_tile_assign():
+    # Determinism note: unlike the quadkey lattice (pure +,*,/ + floor,
+    # IEEE-exact across engines), the mercator lattice needs ln/tan/cos/
+    # exp/atan, which are not guaranteed correctly-rounded identically
+    # in numpy and DuckDB. Mitigations: identical expression TREES on
+    # both sides (sinh spelled as (exp(t)-exp(-t))/2 — this sandbox's
+    # libm pair agrees in practice, as geo_tile_encode has shown across
+    # rounds), ±1-cell slack on all enumeration ranges, and fixture
+    # bounds that are rationals while pixel-center latitudes are
+    # transcendental — a 1-ulp engine disagreement flips a comparison
+    # only if a center lands WITHIN 1 ulp of a zone bound, which the
+    # fixture cannot produce. The mercator leg accepts this residual
+    # risk; bit-exactness claims live on the quadkey leg.
     n3 = (1 << _TILE_RAST_Z) * 8
     n3f = float(n3)
     merc = (

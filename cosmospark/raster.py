@@ -423,10 +423,14 @@ def _zone_bitset_row_batches(
         yield out
 
 
-def _fold_pixel_lut(rast: DataFrame, exact: bool) -> DataFrame:
+def _fold_pixel_lut(
+    rast: DataFrame, exact: bool, extra_meta: dict | None = None
+) -> DataFrame:
     """Shared LUT fold over a (zone_id, rank, area, cell, mask_bits,
     full_bits, touch_bits) bitset table — see ``zone_pixel_lut`` for the
-    semantics; ``tile_pixel_lut`` reuses it on the mercator grid."""
+    semantics; ``tile_pixel_lut`` reuses it on the mercator grid.
+    ``extra_meta`` is stamped alongside the build mode (grid res/zoom,
+    validated at assignment time)."""
     sel = "mask_bits" if not exact else "touch_bits"
     per_pix = (
         rast.select(
@@ -466,7 +470,7 @@ def _fold_pixel_lut(rast: DataFrame, exact: bool) -> DataFrame:
             # and lets assign_zones_raster reject a LUT whose build mode
             # disagrees with its `exact` flag (ADVICE r3)
             F.expr("transform(sequence(0, 63), i -> coalesce(_m[i], -1L))").alias(
-                "zone_arr", metadata={"lut_exact": bool(exact)}
+                "zone_arr", metadata={"lut_exact": bool(exact), **(extra_meta or {})}
             ),
         )
     )
@@ -487,7 +491,95 @@ def zone_pixel_lut(zones: DataFrame, res: int, exact: bool = False) -> DataFrame
     LUT answer is EXACT. Unstable (boundary) pixels get sentinel -2 and
     are refined by the exact kernel in ``assign_zones_raster``; pixels
     no zone touches stay -1 (exactly unassigned)."""
-    return _fold_pixel_lut(rasterize_zone_bitsets(zones, res), exact)
+    return _fold_pixel_lut(
+        rasterize_zone_bitsets(zones, res), exact, {"lut_res": res}
+    )
+
+
+MERCATOR_MAX_LAT = 85.05112878
+
+
+def _check_lut_mode(lut, exact, fn_name, grid_key, grid_val):
+    """Validate a caller-supplied LUT's build metadata against the
+    assignment's flags: build mode (an exact-built LUT under exact=False
+    would leak the -2 boundary sentinel as a zone_id; a center-only LUT
+    under exact=True would skip refinement while claiming exactness)
+    AND the grid res/zoom (mismatched keys silently join to nothing —
+    every point would resolve -1). Returns the declared build mode
+    (None = unverifiable legacy LUT)."""
+    md = lut.schema["zone_arr"].metadata or {}
+    declared = md.get("lut_exact")
+    if declared is None:
+        if exact:
+            raise ValueError(
+                f"{fn_name}(exact=True) needs a LUT built with exact=True; "
+                "the supplied LUT carries no lut_exact build-mode metadata"
+            )
+    elif bool(declared) != exact:
+        raise ValueError(
+            f"LUT build mode lut_exact={bool(declared)} disagrees with "
+            f"exact={exact}; rebuild the LUT or flip the flag"
+        )
+    built = md.get(grid_key)
+    if built is not None and int(built) != int(grid_val):
+        raise ValueError(
+            f"LUT was built at {grid_key}={int(built)} but the assignment "
+            f"asked for {int(grid_val)}: the cell keys cannot match and "
+            "every point would silently resolve to -1"
+        )
+    return declared
+
+
+def _finish_raster_assign(
+    out: DataFrame,
+    zones: DataFrame | None,
+    exact: bool,
+    declared,
+    out_of_domain,
+    lon_col: str,
+    lat_col: str,
+    id_col: str,
+    strategy: str,
+    broadcast_budget_bytes: int | None,
+) -> DataFrame:
+    """Shared tail of both raster assigns: sentinel hygiene for
+    unverifiable LUTs; in exact mode, route boundary pixels AND points
+    beyond the grid's projection domain (whose clamped edge pixel may be
+    stable but wrong for them) through the exact kernel, honoring the
+    caller's strategy/budget (ADVICE r3)."""
+    if not exact:
+        if declared is None:
+            # unverifiable hand-built LUT: never leak the -2 boundary
+            # sentinel to callers as a zone id
+            out = out.withColumn(
+                "zone_id",
+                F.when(F.col("zone_id") == -2, F.lit(-1)).otherwise(
+                    F.col("zone_id")
+                ),
+            )
+        return out
+    if out_of_domain is not None:
+        out = out.withColumn(
+            "zone_id",
+            F.when(out_of_domain, F.lit(-2)).otherwise(F.col("zone_id")),
+        )
+    from cosmospark.assign import assign_zones
+
+    resolved = out.filter(F.col("zone_id") != -2)
+    boundary = out.filter(F.col("zone_id") == -2).drop("zone_id")
+    kw = {}
+    if broadcast_budget_bytes is not None:
+        kw["broadcast_budget_bytes"] = broadcast_budget_bytes
+    refined = assign_zones(
+        boundary,
+        zones,
+        lon_col=lon_col,
+        lat_col=lat_col,
+        strategy=strategy,
+        id_col=id_col,
+        **kw,
+    )
+    return resolved.unionByName(refined)
 
 
 def assign_zones_raster(
@@ -531,25 +623,9 @@ def assign_zones_raster(
     if lut is None:
         lut = zone_pixel_lut(zones, res, exact=exact)
     else:
-        # a caller-supplied LUT must match the exact flag: an
-        # exact-built LUT under exact=False would leak the -2 boundary
-        # sentinel as a zone_id, and a center-only LUT under exact=True
-        # would skip refinement while claiming exactness (ADVICE r3)
-        md = lut.schema["zone_arr"].metadata or {}
-        declared = md.get("lut_exact")
-        if declared is None:
-            if exact:
-                raise ValueError(
-                    "assign_zones_raster(exact=True) needs a LUT built by "
-                    "zone_pixel_lut(exact=True); the supplied LUT carries no "
-                    "lut_exact build-mode metadata"
-                )
-        elif bool(declared) != exact:
-            raise ValueError(
-                f"LUT build mode lut_exact={bool(declared)} disagrees with "
-                f"exact={exact}; rebuild with zone_pixel_lut(zones, res, "
-                f"exact={exact}) or flip the flag"
-            )
+        declared = _check_lut_mode(
+            lut, exact, "assign_zones_raster", "lut_res", res
+        )
     fine = cells.col_cell_encode(F.col(lon_col), F.col(lat_col), res + 3)
     enc = points.withColumn("_cell", F.shiftright(fine, 6)).withColumn(
         "_pix", fine.bitwiseAND(F.lit(63)).cast("int")
@@ -564,37 +640,18 @@ def assign_zones_raster(
         )
         .drop("_cell", "_pix", "zone_arr")
     )
-    if not exact:
-        if declared is None:
-            # unverifiable hand-built LUT: never leak the -2 boundary
-            # sentinel to callers as a zone id
-            out = out.withColumn(
-                "zone_id",
-                F.when(F.col("zone_id") == -2, F.lit(-1)).otherwise(
-                    F.col("zone_id")
-                ),
-            )
-        return out
-    from cosmospark.assign import assign_zones
-
-    resolved = out.filter(F.col("zone_id") != -2)
-    boundary = out.filter(F.col("zone_id") == -2).drop("zone_id")
-    # boundary refinement honors the caller's strategy/budget — an
-    # over-budget zone dim must not sneak back in through an ungated
-    # full-geometry broadcast here (ADVICE r3)
-    kw = {}
-    if broadcast_budget_bytes is not None:
-        kw["broadcast_budget_bytes"] = broadcast_budget_bytes
-    refined = assign_zones(
-        boundary,
-        zones,
-        lon_col=lon_col,
-        lat_col=lat_col,
-        strategy=strategy,
-        id_col=id_col,
-        **kw,
+    # invalid coordinates clamp into edge cells; exact mode must not let
+    # a stable edge pixel answer for them
+    oob = (
+        (F.col(lat_col) > 90.0)
+        | (F.col(lat_col) < -90.0)
+        | (F.col(lon_col) > 180.0)
+        | (F.col(lon_col) < -180.0)
     )
-    return resolved.unionByName(refined)
+    return _finish_raster_assign(
+        out, zones, exact, declared, oob,
+        lon_col, lat_col, id_col, strategy, broadcast_budget_bytes,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -811,7 +868,9 @@ def tile_pixel_lut(zones: DataFrame, z: int, exact: bool = False) -> DataFrame:
     zone_arr[64]) with the same argmin/stability semantics and build-mode
     metadata. Column stays named ``cell`` (it carries the packed tile
     id) so ``_fold_pixel_lut``/persistence tooling is shared."""
-    return _fold_pixel_lut(rasterize_zone_bitsets_tiles(zones, z), exact)
+    return _fold_pixel_lut(
+        rasterize_zone_bitsets_tiles(zones, z), exact, {"lut_z": z}
+    )
 
 
 _TILE_PIX_SCHEMA_EXTRA = [
@@ -848,20 +907,9 @@ def assign_zones_tiles_raster(
     if lut is None:
         lut = tile_pixel_lut(zones, z, exact=exact)
     else:
-        md = lut.schema["zone_arr"].metadata or {}
-        declared = md.get("lut_exact")
-        if declared is None:
-            if exact:
-                raise ValueError(
-                    "assign_zones_tiles_raster(exact=True) needs a LUT built "
-                    "by tile_pixel_lut(exact=True); the supplied LUT carries "
-                    "no lut_exact build-mode metadata"
-                )
-        elif bool(declared) != exact:
-            raise ValueError(
-                f"LUT build mode lut_exact={bool(declared)} disagrees with "
-                f"exact={exact}"
-            )
+        declared = _check_lut_mode(
+            lut, exact, "assign_zones_tiles_raster", "lut_z", z
+        )
 
     out_schema = T.StructType(points.schema.fields + _TILE_PIX_SCHEMA_EXTRA)
     key_hi = z << 58
@@ -886,32 +934,20 @@ def assign_zones_tiles_raster(
         )
         .drop("_cell", "_pix", "zone_arr")
     )
-    if not exact:
-        if declared is None:
-            out = out.withColumn(
-                "zone_id",
-                F.when(F.col("zone_id") == -2, F.lit(-1)).otherwise(
-                    F.col("zone_id")
-                ),
-            )
-        return out
-    from cosmospark.assign import assign_zones
-
-    resolved = out.filter(F.col("zone_id") != -2)
-    boundary = out.filter(F.col("zone_id") == -2).drop("zone_id")
-    kw = {}
-    if broadcast_budget_bytes is not None:
-        kw["broadcast_budget_bytes"] = broadcast_budget_bytes
-    refined = assign_zones(
-        boundary,
-        zones,
-        lon_col=lon_col,
-        lat_col=lat_col,
-        strategy=strategy,
-        id_col=id_col,
-        **kw,
+    # tile_xy CLAMPS latitude to the mercator domain (±85.05°): a point
+    # beyond it lands in the top/bottom pixel row, whose stable winner
+    # is wrong for it — exact mode routes such points to the exact
+    # kernel (which tests the real coordinates against real geometry)
+    oob = (
+        (F.col(lat_col) > MERCATOR_MAX_LAT)
+        | (F.col(lat_col) < -MERCATOR_MAX_LAT)
+        | (F.col(lon_col) > 180.0)
+        | (F.col(lon_col) < -180.0)
     )
-    return resolved.unionByName(refined)
+    return _finish_raster_assign(
+        out, zones, exact, declared, oob,
+        lon_col, lat_col, id_col, strategy, broadcast_budget_bytes,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -965,7 +1001,9 @@ def incremental_lut_update(
         affected = affected.unionByName(changed_new.select("cell"))
     affected_cells = affected.distinct().localCheckpoint(eager=True)
     lut_patch = _fold_pixel_lut(
-        new_bitsets.join(affected_cells, "cell", "left_semi"), exact
+        new_bitsets.join(affected_cells, "cell", "left_semi"),
+        exact,
+        {"lut_res": res},
     )
     return new_bitsets, affected_cells, lut_patch
 

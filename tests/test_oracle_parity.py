@@ -41,9 +41,20 @@ ORACLES = Q.oracle_sql(SF_DIR)
 NAMES = sorted(ORACLES)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=4)
+def _oracles_for(sf_dir):
+    # building the registry materializes pure-Python XXH64 side tables
+    # (simhash/minhash/ann vocab hashing) — cache it per sf instead of
+    # paying that setup once per parameterized test
+    return Q.oracle_sql(sf_dir)
+
+
 def _check_parity(spark, con, name, sf_dir):
     spark_df = Q.queries()[name](spark, sf_dir).toPandas()
-    duck_df = con.sql(Q.oracle_sql(sf_dir)[name]).df()
+    duck_df = con.sql(_oracles_for(sf_dir)[name]).df()
     assert sorted(spark_df.columns) == sorted(duck_df.columns), "column names differ"
     assert len(spark_df) == len(duck_df), "row counts differ"
     a, b = normalize(spark_df), normalize(duck_df)

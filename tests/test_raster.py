@@ -470,7 +470,7 @@ def test_tile_lut_persisted_bucketed_joins_without_lut_exchange(spark, tmp_path)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         lut_b = read_bucketed(spark, "lut_tiles_t")
-        assert lut_b.schema["zone_arr"].metadata == {"lut_exact": False}
+        assert lut_b.schema["zone_arr"].metadata == {"lut_exact": False, "lut_z": 6}
         pts = spark.range(2000).select(
             F.col("id").alias("pid"),
             (F.col("id") % 130 / 10.0 + 2.0).alias("lon"),
@@ -561,3 +561,58 @@ def test_incremental_lut_update_equals_full_rebuild(spark):
         new_bitsets.exceptAll(want).limit(1).count() == 0
         and want.exceptAll(new_bitsets).limit(1).count() == 0
     )
+
+
+def test_exact_mode_out_of_mercator_domain_points(spark):
+    """tile_xy clamps |lat| > 85.05° into the edge pixel row; exact
+    mode must still return the EXACT answer (-1 outside every zone) for
+    such points instead of the clamped pixel's stable winner."""
+    import pyspark.sql.functions as F
+
+    from cosmospark.queries import _lux_typed_zones
+    from cosmospark.raster import assign_zones_raster, assign_zones_tiles_raster
+
+    zones = _lux_typed_zones(spark)
+    pts = spark.createDataFrame(
+        [(1, 5.0, 86.0), (2, 5.0, -88.0), (3, 200.0, 45.0), (4, 5.0, 45.5)],
+        "pid long, lon double, lat double",
+    )
+    got_t = {
+        r["pid"]: r["zone_id"]
+        for r in assign_zones_tiles_raster(pts, zones, z=6, exact=True).collect()
+    }
+    assert got_t[1] == -1 and got_t[2] == -1 and got_t[3] == -1
+    assert got_t[4] >= 0  # in-domain point inside the lux box still assigns
+    got_q = {
+        r["pid"]: r["zone_id"]
+        for r in assign_zones_raster(pts, zones, res=6, exact=True).collect()
+    }
+    assert got_q[3] == -1 and got_q[4] >= 0
+
+
+def test_lut_grid_mismatch_rejected(spark):
+    """A LUT built at one res/zoom used at another must raise, not
+    silently join to nothing (-1 for every point)."""
+    import pytest
+    import pyspark.sql.functions as F
+
+    from cosmospark.queries import _lux_typed_zones
+    from cosmospark.raster import (
+        assign_zones_raster,
+        assign_zones_tiles_raster,
+        tile_pixel_lut,
+        zone_pixel_lut,
+    )
+
+    zones = _lux_typed_zones(spark)
+    pts = spark.range(5).select(
+        F.col("id").alias("pid"),
+        (F.lit(3.0) + F.col("id")).alias("lon"),
+        (F.lit(45.0)).alias("lat"),
+    )
+    lut6 = zone_pixel_lut(zones, res=6)
+    with pytest.raises(ValueError, match="lut_res=6"):
+        assign_zones_raster(pts, zones, res=9, lut=lut6)
+    tlut6 = tile_pixel_lut(zones, z=6)
+    with pytest.raises(ValueError, match="lut_z=6"):
+        assign_zones_tiles_raster(pts, zones, z=7, lut=tlut6)
