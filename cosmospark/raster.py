@@ -212,38 +212,49 @@ def rasterize_zones_tiles(zones: DataFrame, z: int, px: int = 64) -> DataFrame:
     """Vector → raster on the web-mercator z/x/y tile pyramid (the
     ``tile_encode`` packing): per covering tile, a ``px``×``px`` pixel
     occupancy mask. Pixel x is linear in lon; pixel y inverts the
-    mercator projection (``lat = atan(sinh(π(1 − 2·yf)))``)."""
+    mercator projection. Planet-safe like the quadkey variant:
+    hierarchical FULL/EMPTY/BOUNDARY descent (``tile_raster_cover``),
+    closed-form all-ones masks for interior tiles, bounded kernel
+    chunks for the perimeter; mask rows are north→south (row b = b-th
+    pixel DOWN from the tile's top edge)."""
     zz = zones.select(F.col("id").alias("zone_id"), "rings")
-    n = 1 << z
+    max_pixels = _default_max_pixels()
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        off = np.arange(px, dtype=np.float64)
+        cols = ["zone_id", "cell", "mask", "n_inside"]
+        key_hi = np.int64(z) << 58
+        step = max(1, max_pixels // (px * px))
+        ones = np.packbits(np.ones(px * px, dtype=bool)).tobytes()
         for pdf in batches:
-            rows: list[dict] = []
+            buf: list[dict] = []
             for zid, rrows in zip(pdf["zone_id"], pdf["rings"]):
                 if rrows is None or len(rrows) == 0:
                     continue
                 rr = geom.rows_to_rings(rrows)
-                minx, miny, maxx, maxy = geom.bbox(rr)
-                tx0, ty1 = cells.tile_xy(np.array([minx]), np.array([miny]), z)
-                tx1, ty0 = cells.tile_xy(np.array([maxx]), np.array([maxy]), z)
-                txs = np.arange(tx0[0], tx1[0] + 1)
-                tys = np.arange(ty0[0], ty1[0] + 1)
-                tx, ty = np.meshgrid(txs, tys, indexing="ij")
-                tx, ty = tx.ravel(), ty.ravel()
-                keys = (np.int64(z) << 58) | (tx << 29) | ty
-                lon1 = -180.0 + (tx[:, None] * px + off[None, :] + 0.5) * 360.0 / (n * px)
-                yf = (ty[:, None] * px + off[None, :] + 0.5) / (n * px)
-                lat1 = np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * yf))))
-                ncells = len(tx)
-                lon_c = np.repeat(lon1[:, None, :], px, axis=1)
-                # mercator y runs north→south: row b of the mask is the
-                # b-th pixel DOWN from the tile's top edge
-                lat_c = np.repeat(lat1[:, :, None], px, axis=2)
-                rows.extend(_mask_rows(zid, rr, lon_c, lat_c, keys))
-            yield pd.DataFrame(
-                rows, columns=["zone_id", "cell", "mask", "n_inside"]
-            )
+                fx, fy, bx, by = tile_raster_cover(rr, z)
+                for s in range(0, len(fx), step):
+                    keys = key_hi | (fx[s : s + step] << 29) | fy[s : s + step]
+                    buf.extend(
+                        {
+                            "zone_id": int(zid),
+                            "cell": int(k),
+                            "mask": ones,
+                            "n_inside": px * px,
+                        }
+                        for k in keys
+                    )
+                    if len(buf) >= 65536:
+                        yield pd.DataFrame(buf, columns=cols)
+                        buf = []
+                for s in range(0, len(bx), step):
+                    cx, cy = bx[s : s + step], by[s : s + step]
+                    lon_c, lat_c = _tile_pixel_centers(cx, cy, z, px)
+                    keys = key_hi | (cx << 29) | cy
+                    buf.extend(_mask_rows(zid, rr, lon_c, lat_c, keys))
+                    if len(buf) >= 65536:
+                        yield pd.DataFrame(buf, columns=cols)
+                        buf = []
+            yield pd.DataFrame(buf, columns=cols)
 
     out = zz.mapInPandas(_run, _RASTER_SCHEMA)
     return out.withColumnRenamed("cell", "tile_id")
