@@ -144,3 +144,84 @@ def search_ivf(
         "vec_id", "list_id", F.expr(f"round({dot} / ({nrm} * {qn!r}), 6)").alias("cos_sim")
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric-distance (ADC) scan — the
+# memory-scale ANN path: a d-dim float vector compresses to m uint8
+# codes (here m=8 → 8 bytes vs 256+), and a query scans codes with a
+# precomputed (m × k) distance table — pure lookups + adds, expressible
+# entirely in whole-stage codegen on the fact side.
+
+
+def pq_train(x: np.ndarray, m: int, k: int, iters: int = 10) -> np.ndarray:
+    """(m, k, d/m) codebooks via DETERMINISTIC Lloyd's k-means per
+    subspace: init = the first k distinct subvectors in row order (no
+    RNG — reruns and the oracle see the identical codebook), fixed
+    iteration count, empty clusters keep their previous centroid.
+    Training feeds a driver-side SAMPLE (codebooks are tiny); encode
+    and scan are the distributed parts."""
+    n, d = x.shape
+    assert d % m == 0, (d, m)
+    dsub = d // m
+    books = np.empty((m, k, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = x[:, j * dsub : (j + 1) * dsub]
+        uniq, idx = np.unique(sub, axis=0, return_index=True)
+        order = np.sort(idx)[:k]
+        if len(order) < k:  # tiny corpora: pad by cycling
+            order = np.resize(order, k)
+        c = sub[order].astype(np.float64).copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for ci in range(k):
+                mask = a == ci
+                if mask.any():
+                    c[ci] = sub[mask].mean(axis=0)
+        books[j] = c
+    return books
+
+
+def pq_subspace_dists(x: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """(n, k) squared distances with SEQUENTIAL dimension accumulation
+    (dim 0 + dim 1 + ...) — the exact fold order the SQL oracle's
+    list_aggregate uses, so code assignment is bit-reproducible."""
+    n, dsub = x.shape
+    acc = np.zeros((n, len(c)), dtype=np.float64)
+    for i in range(dsub):
+        diff = x[:, i, None] - c[None, :, i]
+        acc += diff * diff
+    return acc
+
+
+def pq_encode(
+    emb: DataFrame, books: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """Add ``codes`` (array<int>, one uint8-range code per subspace):
+    one narrow Arrow pass, no shuffle. Ties break to the LOWEST code
+    index (argmin), matching the oracle's (d2, c) ordering."""
+    import pandas as pd
+    from pyspark.sql import functions as F, types as T
+
+    m, k, dsub = books.shape
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(books)
+    out_schema = T.StructType(
+        emb.schema.fields + [T.StructField("codes", T.ArrayType(T.IntegerType()))]
+    )
+
+    def _run(batches):
+        bk = bc.value
+        for pdf in batches:
+            vecs = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            codes = np.empty((len(vecs), m), dtype=np.int32)
+            for j in range(m):
+                sub = vecs[:, j * dsub : (j + 1) * dsub]
+                codes[:, j] = pq_subspace_dists(sub, bk[j]).argmin(axis=1)
+            pdf["codes"] = list(codes)
+            yield pdf
+
+    return emb.mapInPandas(_run, out_schema)

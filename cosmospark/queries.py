@@ -893,6 +893,102 @@ ORDER BY pid
 """
 
 
+PQ_M, PQ_K, PQ_TOPK = 8, 16, 50
+
+
+@functools.lru_cache(maxsize=4)
+def _pq_artifacts(sf_dir: str):
+    """(codebooks, query_vector) — trained ONCE per sf with the
+    deterministic Lloyd's trainer, shared verbatim by the Spark query
+    and the DuckDB oracle (the codebook values are emitted as literals
+    into both plans, so there is nothing to drift)."""
+    import pyarrow.parquet as _pq
+
+    from cosmospark.ann import pq_train
+
+    t = _pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    df = t.to_pandas().sort_values("vec_id")
+    x = np.array([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
+    return pq_train(x, PQ_M, PQ_K), x[0]
+
+
+def q_ann_pq(spark, sf_dir):
+    """Product-quantization ANN with an ADC scan: vectors compress to
+    PQ_M uint8 codes (one narrow Arrow encode pass), then the query
+    scans codes ENTIRELY in whole-stage codegen — the (m × k) distance
+    table inlines as array literals and the ADC distance is a chain of
+    element_at lookups + adds. Memory-scale: 8 bytes/vector instead of
+    the raw embedding on the scan path. Oracle re-derives code
+    assignment AND the ADC top-k relationally from the same codebook."""
+    from cosmospark.ann import pq_encode, pq_subspace_dists
+
+    books, qv = _pq_artifacts(sf_dir)
+    m, k, dsub = books.shape
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    codes = pq_encode(emb, books).drop("embedding")
+    terms = []
+    for j in range(m):
+        dt = pq_subspace_dists(qv[None, j * dsub : (j + 1) * dsub], books[j])[0]
+        # the D suffix forces DOUBLE literals (bare decimals parse as
+        # DECIMAL in Spark SQL and re-round the ADC sums)
+        vals = ", ".join(f"{float(v)!r}D" for v in dt)
+        terms.append(f"element_at(array({vals}), element_at(codes, {j + 1}) + 1)")
+    adc = " + ".join(terms)  # left-assoc chain == the oracle's ordered fold
+    return (
+        codes.withColumn("adc", F.expr(adc))
+        .orderBy("adc", "vec_id")
+        .limit(PQ_TOPK)
+        .select("vec_id", "adc")
+    )
+
+
+def sql_ann_pq(sf_dir: str) -> str:
+    from cosmospark.ann import pq_subspace_dists
+
+    books, qv = _pq_artifacts(sf_dir)
+    m, k, dsub = books.shape
+    book_vals = []
+    dt_rows = {"j": [], "c": [], "dv": []}
+    for j in range(m):
+        dt = pq_subspace_dists(qv[None, j * dsub : (j + 1) * dsub], books[j])[0]
+        for c in range(k):
+            vec = ", ".join(repr(float(v)) for v in books[j, c])
+            book_vals.append(f"({j}, {c}, [{vec}]::DOUBLE[])")
+            dt_rows["j"].append(j)
+            dt_rows["c"].append(c)
+            dt_rows["dv"].append(float(dt[c]))
+    # the distance table goes through PARQUET, not VALUES literals:
+    # DuckDB constant-folds literal-only addition chains at EXTENDED
+    # precision (measured 1-ulp drift vs IEEE left-assoc on the same
+    # doubles), while scanned values add at runtime in IEEE double —
+    # matching Spark's element_at(array_literal) + runtime-codes chain
+    dt_path = _materialize_oracle_parquet("ann_pq_dt", sf_dir, dt_rows)
+    return f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+book(j, c, v) AS (VALUES {", ".join(book_vals)}),
+dt AS (SELECT j, c, dv FROM '{dt_path}'),
+sub AS (
+  SELECT vec_id, b.j, b.c,
+         list_aggregate(
+           list_transform(list_zip(e[b.j * {dsub} + 1 : (b.j + 1) * {dsub}], b.v),
+                          p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') AS d2
+  FROM emb CROSS JOIN book b),
+codes AS (
+  SELECT vec_id, j, c FROM (
+    SELECT vec_id, j, c,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn
+    FROM sub) WHERE rn = 1),
+adc AS (
+  SELECT vec_id,
+         {" + ".join(f"MAX(CASE WHEN j = {j} THEN dv END)" for j in range(m))} AS adc
+  FROM codes JOIN dt USING (j, c) GROUP BY vec_id)
+SELECT vec_id, adc FROM adc ORDER BY adc, vec_id LIMIT {PQ_TOPK}
+"""
+
+
 def q_geo_tile_pyramid(spark, sf_dir):
     """Hierarchical rollup UP the mercator tile pyramid (the tile-side
     analog of geo_multires_rollup): aggregate once at z=12, then
@@ -2772,6 +2868,7 @@ def queries() -> dict:
         "geo_raster_tile_assign_exact": q_geo_raster_tile_assign_exact,
         "geo_lut_incremental": q_geo_lut_incremental,
         "geo_tile_pyramid": q_geo_tile_pyramid,
+        "ann_pq": q_ann_pq,
         "events_window": q_events_window,
         "lang_id": q_lang_id,
         "ann_lsh": q_ann_lsh,
@@ -2852,6 +2949,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         + "SELECT pid, zone_id FROM assigned ORDER BY pid",
         "geo_lut_incremental": sql_geo_lut_incremental(),
         "geo_tile_pyramid": SQL_TILE_PYRAMID,
+        "ann_pq": sql_ann_pq(sf_dir),
         "events_window": SQL_EVENTS_WINDOW,
         "lang_id": sql_lang_id(),
         "ann_lsh": sql_ann_lsh(_emb_dim(sf_dir)),

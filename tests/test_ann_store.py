@@ -175,3 +175,45 @@ class TestRecall:
         # sub-exponential — still decisive)
         assert recalls[8] > recalls[1]
         assert recalls[8] >= 0.9, f"L-table recall {recalls} over {len(truth)} pairs"
+
+
+def test_pq_adc_rerank_recall(spark):
+    """Product quantization as the memory-scale ANN path: 64-dim floats
+    → 8 uint8 codes (32× smaller scan). ADC top-100 candidate pools,
+    exact-reranked, must keep recall@10 ≥ 0.7 averaged over 10 fixed
+    queries vs brute force (measured 0.88 at sf0.01; PQ is a
+    rerank-filter, not a final ranking)."""
+    import numpy as np
+
+    from cosmospark.ann import pq_encode, pq_subspace_dists, pq_train
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    rows = emb.orderBy("vec_id").collect()
+    x = np.array([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    m, k = 8, 16
+    books = pq_train(x, m, k)
+    dsub = x.shape[1] // m
+
+    coded = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(emb, books).select("vec_id", "codes").collect()
+    }
+    codes = np.array([coded[r["vec_id"]] for r in rows])
+
+    recalls = []
+    for qi in range(0, 100, 10):
+        q = x[qi]
+        true = set(np.argsort(((x - q) ** 2).sum(axis=1))[:10].tolist())
+        dts = [
+            pq_subspace_dists(q[None, j * dsub : (j + 1) * dsub], books[j])[0]
+            for j in range(m)
+        ]
+        adc = sum(dts[j][codes[:, j]] for j in range(m))
+        cand = set(np.argsort(adc)[:100].tolist())
+        recalls.append(len(true & cand) / 10)
+    assert float(np.mean(recalls)) >= 0.7, recalls
+    # determinism: retraining yields the identical codebook
+    assert (pq_train(x, m, k) == books).all()
