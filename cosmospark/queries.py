@@ -944,31 +944,103 @@ def q_ann_pq(spark, sf_dir):
     )
 
 
+PQ_POOL, PQ_RERANK_K = 100, 10
+
+
+def q_ann_pq_rerank(spark, sf_dir):
+    """The production PQ shape end-to-end: ADC-scan the 8-byte codes for
+    a top-``PQ_POOL`` candidate pool (whole-stage codegen), then
+    exact-rerank ONLY the pool against the raw embeddings (sequential
+    zip_with/aggregate fold — the JVM stays the slow-path-free engine;
+    the corpus-scale scan never touches a raw vector). Recall@10 ≈ 0.88
+    measured at this pool size."""
+    from cosmospark.ann import pq_encode, pq_subspace_dists
+
+    books, qv = _pq_artifacts(sf_dir)
+    m, k, dsub = books.shape
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    codes = pq_encode(emb, books).drop("embedding")
+    terms = []
+    for j in range(m):
+        dt = pq_subspace_dists(qv[None, j * dsub : (j + 1) * dsub], books[j])[0]
+        vals = ", ".join(f"{float(v)!r}D" for v in dt)
+        terms.append(f"element_at(array({vals}), element_at(codes, {j + 1}) + 1)")
+    pool = (
+        codes.withColumn("adc", F.expr(" + ".join(terms)))
+        .orderBy("adc", "vec_id")
+        .limit(PQ_POOL)
+        .select("vec_id")
+    )
+    qlit = ", ".join(f"{float(v)!r}D" for v in qv)
+    l2 = F.expr(
+        f"aggregate(zip_with(transform(embedding, x -> cast(x as double)),"
+        f" array({qlit}), (a, b) -> (a - b) * (a - b)),"
+        f" 0D, (acc, t) -> acc + t)"
+    )
+    return (
+        pool.join(emb, "vec_id")
+        .withColumn("l2", l2)
+        .orderBy("l2", "vec_id")
+        .limit(PQ_RERANK_K)
+        .select("vec_id", "l2")
+    )
+
+
+def sql_ann_pq_rerank(sf_dir: str) -> str:
+    books, qv = _pq_artifacts(sf_dir)
+    inner = sql_ann_pq(sf_dir).replace(
+        f"LIMIT {PQ_TOPK}", f"LIMIT {PQ_POOL}"
+    )
+    # query vector via parquet: DuckDB literal parse is 1-ulp-unsafe
+    # (see sql_ann_pq)
+    q_path = _materialize_oracle_parquet(
+        "ann_pq_query", sf_dir, {"q": [[float(v) for v in qv]]}
+    )
+    return f"""
+WITH pool AS ({inner}),
+emb AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+        FROM embeddings),
+qv AS (SELECT q FROM '{q_path}'),
+scored AS (
+  SELECT p.vec_id,
+         list_aggregate(list_transform(list_zip(e, q),
+                                       t -> (t[1] - t[2]) * (t[1] - t[2])),
+                        'sum') AS l2
+  FROM pool p JOIN emb USING (vec_id) CROSS JOIN qv)
+SELECT vec_id, l2 FROM scored ORDER BY l2, vec_id LIMIT {PQ_RERANK_K}
+"""
+
+
 def sql_ann_pq(sf_dir: str) -> str:
     from cosmospark.ann import pq_subspace_dists
 
     books, qv = _pq_artifacts(sf_dir)
     m, k, dsub = books.shape
-    book_vals = []
+    book_rows = {"j": [], "c": [], "v": []}
     dt_rows = {"j": [], "c": [], "dv": []}
     for j in range(m):
         dt = pq_subspace_dists(qv[None, j * dsub : (j + 1) * dsub], books[j])[0]
         for c in range(k):
-            vec = ", ".join(repr(float(v)) for v in books[j, c])
-            book_vals.append(f"({j}, {c}, [{vec}]::DOUBLE[])")
+            book_rows["j"].append(j)
+            book_rows["c"].append(c)
+            book_rows["v"].append([float(x) for x in books[j, c]])
             dt_rows["j"].append(j)
             dt_rows["c"].append(c)
             dt_rows["dv"].append(float(dt[c]))
-    # the distance table goes through PARQUET, not VALUES literals:
-    # DuckDB constant-folds literal-only addition chains at EXTENDED
-    # precision (measured 1-ulp drift vs IEEE left-assoc on the same
-    # doubles), while scanned values add at runtime in IEEE double —
-    # matching Spark's element_at(array_literal) + runtime-codes chain
+    # EVERY float constant goes through PARQUET, never SQL literals:
+    # (a) DuckDB's string→double parse is off by 1 ulp for many
+    # 17-digit reprs (measured: '0.09243408590555191'::DOUBLE !=
+    # the repr'd double), and (b) DuckDB constant-folds literal-only
+    # addition chains at EXTENDED precision (1-ulp drift vs IEEE
+    # left-assoc). Scanned parquet values are bit-exact and add at
+    # runtime in IEEE double — matching Spark's plan, whose own literal
+    # parser IS correctly rounded (self-distance 0.0 pinned the diff).
+    book_path = _materialize_oracle_parquet("ann_pq_book", sf_dir, book_rows)
     dt_path = _materialize_oracle_parquet("ann_pq_dt", sf_dir, dt_rows)
     return f"""
 WITH emb AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
-book(j, c, v) AS (VALUES {", ".join(book_vals)}),
+book AS (SELECT j, c, v FROM '{book_path}'),
 dt AS (SELECT j, c, dv FROM '{dt_path}'),
 sub AS (
   SELECT vec_id, b.j, b.c,
@@ -2869,6 +2941,7 @@ def queries() -> dict:
         "geo_lut_incremental": q_geo_lut_incremental,
         "geo_tile_pyramid": q_geo_tile_pyramid,
         "ann_pq": q_ann_pq,
+        "ann_pq_rerank": q_ann_pq_rerank,
         "events_window": q_events_window,
         "lang_id": q_lang_id,
         "ann_lsh": q_ann_lsh,
@@ -2950,6 +3023,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "geo_lut_incremental": sql_geo_lut_incremental(),
         "geo_tile_pyramid": SQL_TILE_PYRAMID,
         "ann_pq": sql_ann_pq(sf_dir),
+        "ann_pq_rerank": sql_ann_pq_rerank(sf_dir),
         "events_window": SQL_EVENTS_WINDOW,
         "lang_id": sql_lang_id(),
         "ann_lsh": sql_ann_lsh(_emb_dim(sf_dir)),
