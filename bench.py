@@ -189,6 +189,7 @@ def main() -> None:
         "doc_fingerprint",
         "ann_brute_force",
         "ann_ivf",
+        "ann_pq_rerank",
         "minhash_lsh_pairs",
         "simhash_pairs",
         "phash_neardup",

@@ -2270,19 +2270,25 @@ def q_geo_knn_fallback(spark, sf_dir):
     return out.select("pid", "zone_id").orderBy("pid")
 
 
-def sql_geo_knn_fallback():
-    # the kernel's kNN uses geom.centroid values — emit the SAME doubles
-    # (via repr) so distance comparisons are bit-identical
-    vals = []
+def sql_geo_knn_fallback(sf_dir: str = "/root/testdata/sf0.001"):
+    # the kernel's kNN uses geom.centroid values — ship the SAME doubles
+    # via PARQUET so distance comparisons are bit-identical (DuckDB's
+    # string→double parse is 1-ulp wrong for many 17-digit reprs; these
+    # shoelace centroids are exactly that class of arbitrary double)
+    ids, cxs, cys = [], [], []
     for _, r in _lux_typed_rows():
         c = r["center"]
-        vals.append(f"({r['id']}, {c['lon']!r}, {c['lat']!r})")
-    cents = ", ".join(vals)
+        ids.append(r["id"])
+        cxs.append(float(c["lon"]))
+        cys.append(float(c["lat"]))
+    path = _materialize_oracle_parquet(
+        "knn_centroids", sf_dir, {"id": ids, "cx": cxs, "cy": cys}
+    )
     return f"""
 WITH pts AS (
   SELECT i AS pid, 20.0 + (i * 37 % 1000) / 100.0 AS lon,
          40.0 + (i * 61 % 1800) / 100.0 AS lat FROM range({N_KNN_PTS}) t(i)),
-cents(id, cx, cy) AS (VALUES {cents}),
+cents AS (SELECT id, cx, cy FROM '{path}'),
 d AS (
   SELECT p.pid, c.id,
          (p.lon - c.cx) * (p.lon - c.cx) + (p.lat - c.cy) * (p.lat - c.cy) AS d2
@@ -3033,7 +3039,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "set_intersect_except": SQL_INTERSECT,
         "rollup_counts": SQL_ROLLUP,
         "running_total": SQL_RUNNING,
-        "geo_knn_fallback": sql_geo_knn_fallback(),
+        "geo_knn_fallback": sql_geo_knn_fallback(sf_dir),
         "intl_names": sql_intl_names(),
         "embedding_neardup": SQL_EMB_NEARDUP,
         "dedup_exact": SQL_DEDUP,
