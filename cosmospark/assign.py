@@ -445,7 +445,10 @@ def assign_zones_partitioned(
         # factor is a per-row cost, so the fixed conservative default
         # applies rather than the broadcast path's auto budget
         index_max_cells = INDEX_MAX_CELLS
-    zcells = _zone_cells_with_full(zones, index_max_cells).cache()
+    # localCheckpoint, not .cache(): blocks free with the plan via the
+    # ContextCleaner instead of accumulating catalog entries across
+    # composed query invocations (ADVICE r3 lifecycle rule)
+    zcells = _zone_cells_with_full(zones, index_max_cells).localCheckpoint(eager=True)
     # one tiny agg gives the resolution list AND the cell count that
     # sizes the key-only broadcasts below (geometry is NEVER broadcast
     # on this path; 16-byte (res, cell) keys are a different budget)
@@ -858,7 +861,7 @@ def rollup_cells(assigned: DataFrame, resolutions: tuple[int, ...] = DEFAULT_RES
         assigned.groupBy(F.col(f"cell_r{finest}").alias("cell"), "zone_type")
         .agg(F.count("*").alias("n"))
         .withColumn("res", F.lit(finest))
-        .cache()
+        .localCheckpoint(eager=True)
     )
     out = base
     prev = base

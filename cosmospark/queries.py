@@ -456,7 +456,7 @@ def q_geo_parent_hierarchy(spark, sf_dir):
     (src/hierarchy_builder.rs:157-217)."""
     zones = with_bbox_and_area(
         spark.createDataFrame(four_squares_zones(), schema=ZONES_RAW_SCHEMA)
-    ).cache()  # the zone lineage fans out ~10× inside the joins
+    ).localCheckpoint(eager=True)  # the zone lineage fans out ~10× inside the joins
     inclusions = find_inclusions(zones)
     out = build_hierarchy(zones, inclusions)
     return out.select("id", "parent").orderBy("id")
