@@ -121,6 +121,41 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_rasterize(args) -> int:
+    """Zones (pipeline jsonl output) → persisted pixel LUT parquet —
+    the corpus-independent artifact the raster fact join reuses across
+    every fact table (optionally bucketed by cell for co-located
+    joins)."""
+    from pyspark.sql import SparkSession
+
+    from cosmospark.pipeline import read_zones
+    from cosmospark.raster import tile_pixel_lut, zone_pixel_lut
+    from cosmospark.session import get_spark
+
+    pre = SparkSession.getActiveSession()
+    spark = pre or get_spark(app_name="cosmospark-rasterize")
+    spark.sparkContext.setLogLevel("ERROR")
+    zones = read_zones(spark, args.input)
+    if args.tiles:
+        lut = tile_pixel_lut(zones, args.zoom, exact=args.exact)
+        grid = {"grid": "tiles", "z": args.zoom}
+    else:
+        lut = zone_pixel_lut(zones, args.res, exact=args.exact)
+        grid = {"grid": "cells", "res": args.res}
+    if args.buckets:
+        from cosmospark.bucketing import write_bucketed
+
+        write_bucketed(lut, args.table, args.output, ["cell"], args.buckets)
+        n = lut.count()
+    else:
+        lut.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+    print(json.dumps({"cells": n, "exact": args.exact, **grid}), file=sys.stderr)
+    if pre is None:  # embedded callers keep their session
+        spark.stop()
+    return 0
+
+
 def cmd_merge(args) -> int:
     from cosmospark.merge import merge_zones
     from cosmospark.pipeline import read_zones, sniff_format, write_zones
@@ -191,6 +226,19 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("inputs", nargs="+")
     m.add_argument("-o", "--output", required=True)
     m.set_defaults(fn=cmd_merge)
+
+    r = sub.add_parser(
+        "rasterize", help="zones jsonl -> persisted pixel-LUT parquet"
+    )
+    r.add_argument("-i", "--input", required=True, help="zones jsonl (generate output)")
+    r.add_argument("-o", "--output", required=True, help="LUT parquet path")
+    r.add_argument("--res", type=int, default=9, help="quadkey grid resolution")
+    r.add_argument("--tiles", action="store_true", help="mercator tile grid instead")
+    r.add_argument("--zoom", type=int, default=9, help="tile zoom (with --tiles)")
+    r.add_argument("--exact", action="store_true", help="stability-marked exact-mode LUT")
+    r.add_argument("--buckets", type=int, default=0, help="bucket count (0 = plain parquet)")
+    r.add_argument("--table", default="zone_lut", help="bucketed table name")
+    r.set_defaults(fn=cmd_rasterize)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -329,3 +329,34 @@ def test_merge_cli_rejects_non_jsonl_inputs(capsys):
     assert "a.json" in capsys.readouterr().err
     assert main(["merge", "a.jsonl", "-o", "out.json.gz"]) == 2
     assert "out.json.gz" in capsys.readouterr().err
+
+
+def test_rasterize_cli_end_to_end(spark, tmp_path):
+    """generate-output jsonl → `rasterize` CLI → LUT parquet that the
+    raster assignment accepts (build-mode + res metadata intact)."""
+    from cosmospark.__main__ import main
+    from cosmospark.fixtures import lux_world
+    from cosmospark.pipeline import write_zones
+    from cosmospark.raster import assign_zones_raster, zone_pixel_lut
+    from cosmospark.ztypes import ZONES_RAW_SCHEMA
+    import pyspark.sql.functions as F
+
+    from cosmospark.queries import _lux_typed_zones
+
+    zones = _lux_typed_zones(spark)
+    src = str(tmp_path / "zones.jsonl")
+    write_zones(zones, src)
+    out = str(tmp_path / "lut.parquet")
+    assert main(["rasterize", "-i", src, "-o", out, "--res", "6"]) == 0
+    lut = spark.read.parquet(out)
+    assert lut.schema["zone_arr"].metadata == {"lut_exact": False, "lut_res": 6}
+    pts = spark.range(200).select(
+        F.col("id").alias("pid"),
+        (F.lit(3.0) + F.col("id") / 50.0).alias("lon"),
+        (F.lit(45.0) + F.col("id") / 100.0).alias("lat"),
+    )
+    got = assign_zones_raster(pts, None, res=6, lut=lut)
+    want = assign_zones_raster(pts, zones, res=6)
+    assert sorted((r["pid"], r["zone_id"]) for r in got.collect()) == sorted(
+        (r["pid"], r["zone_id"]) for r in want.collect()
+    )
