@@ -84,8 +84,12 @@ def test_rollup_reduces_aggregates_not_fact(spark):
     )
     roll = rollup_cells(assigned.join(F.broadcast(ztype), "zone_id"))
     plan = _plan(roll)
-    # the cached finest-level aggregate feeds every leg
-    assert "InMemoryTableScan" in plan
+    # the MATERIALIZED finest-level aggregate (localCheckpoint → an
+    # ExistingRDD scan) feeds every union leg; the fact table (a Range
+    # scan under the encode) appears in ZERO of them — coarser levels
+    # reduce the aggregate, never rescan facts
+    assert plan.count("Scan ExistingRDD") >= 2  # base leg + ≥1 rollup leg
+    assert "Scan parquet" not in plan and "Range (" not in plan
 
 
 def test_ngram_token_join_broadcast_is_budget_gated(spark):
