@@ -216,16 +216,33 @@ def main() -> None:
         "audio_features",
         "video_frames",
     ]
-    # Each suite query: best of BENCH_RUNS executions, cache cleared
-    # between runs. The sandbox host has multi-minute slow phases
-    # (co-tenant memory-bandwidth contention; the same plan measures
-    # 5.5 s and 28 s back-to-back in one session) — min-of-N reports the
-    # plan's steady-state cost, which is what survives a scale-up, while
-    # a single draw reports the host's mood. Run 1 also folds in Python
-    # worker spawn + plan compile, which amortize to zero on a cluster.
+    # Each suite query: ONE untimed warmup execution, then best of
+    # BENCH_RUNS timed executions, cache cleared between runs. Two
+    # reasons, both measured:
+    #  * The sandbox host has multi-minute slow phases (co-tenant
+    #    memory-bandwidth contention; the same plan measures 5.5 s and
+    #    28 s back-to-back in one session) — min-of-N reports the
+    #    plan's steady-state cost, which is what survives a scale-up,
+    #    while a single draw reports the host's mood.
+    #  * JIT compile-queue congestion (the r4→r5 ngram_jaccard
+    #    "regression" root cause): a compile-heavy predecessor
+    #    (geo_parent_hierarchy alone accumulates ~33 s of JIT compile
+    #    time) leaves the C2 queue backed up, so the NEXT query's
+    #    freshly-generated whole-stage code runs interpreted — the
+    #    identical CPU-bound candidate-join stage measured 520
+    #    CPU-seconds poisoned vs ~130 steady-state (A/B: same plan,
+    #    cache fully resident 32/32, 110 GB host free; only
+    #    CompilationMXBean.totalCompilationTime differs). The decay
+    #    spans 2-3 executions, so best-of-3 alone can still catch the
+    #    tail (BENCH_r04's 6.8 s ngram vs 2.7 s isolated). One warmup
+    #    run per query lets the JIT reach steady state — exactly the
+    #    headline-path methodology above, and what a cluster job (one
+    #    plan per driver JVM, minutes-long stages) sees from task 2 on.
     n_runs = int(os.environ.get("COSMOSPARK_BENCH_RUNS", "3"))
     qs = queries()
     for name in suite:
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        _scrub()
         best = float("inf")
         for _ in range(n_runs):
             t0 = time.time()

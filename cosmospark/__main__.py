@@ -146,7 +146,9 @@ def cmd_rasterize(args) -> int:
         from cosmospark.bucketing import write_bucketed
 
         write_bucketed(lut, args.table, args.output, ["cell"], args.buckets)
-        n = lut.count()
+        # count from the just-written table — re-counting `lut` would
+        # recompute the whole rasterization a second time (ADVICE r4)
+        n = spark.table(args.table).count()
     else:
         lut.write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()

@@ -214,6 +214,13 @@ def pq_encode(
     def _run(batches):
         bk = bc.value
         for pdf in batches:
+            if not len(pdf):
+                # empty Arrow batch (filtered/streamed input): np.array
+                # of zero rows is 1-D and the 2-D subspace slice below
+                # would raise IndexError
+                pdf["codes"] = []
+                yield pdf
+                continue
             vecs = np.array(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )

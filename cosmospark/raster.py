@@ -34,8 +34,10 @@ from cosmospark import cells, geom
 # never O(bbox area). Interior cells emit closed-form all-ones masks
 # with zero pixel tests; exterior bbox cells are skipped outright.
 # Every pixel-kernel call is additionally capped at MAX_PIXELS pixel
-# tests, so one continent-sized zone can neither allocate multi-GB
-# temporaries nor become a single straggler kernel call.
+# tests, and FULL-interior cells are expanded LAZILY in ≤ MAX_PIXELS/px²
+# chunks (``_iter_full_cells`` — the descent holds coarse cells only,
+# O(perimeter)), so one continent-sized zone can neither allocate
+# multi-GB temporaries nor become a single straggler kernel call.
 
 _START_CELLS = 1024  # descend from the coarsest res whose bbox cover fits this
 
@@ -50,22 +52,24 @@ def _bbox_cell_count(minx, miny, maxx, maxy, res: int) -> int:
     return int((x1[0] - x0[0] + 1) * (y1[0] - y0[0] + 1))
 
 
-def zone_raster_cover(
+def _coarse_cover(
     rr, res: int, stats: dict | None = None
-) -> tuple[np.ndarray, np.ndarray]:
-    """→ (full_cells, boundary_cells) at ``res`` for one zone, by
-    coarse→fine descent. FULL cells are entirely inside the zone (every
-    pixel of every descendant is inside — no kernel needed); BOUNDARY
-    cells may meet the zone's edge and need per-pixel tests; everything
-    else provably misses the zone. Classification is
-    ``geom.rects_classify`` (sound for FULL/EMPTY, conservative for
-    BOUNDARY)."""
+) -> tuple[list[tuple[np.ndarray, int]], np.ndarray]:
+    """Coarse→fine descent → (full cells grouped by the res they were
+    PROVEN at, boundary cells at ``res``). FULL cells are entirely
+    inside the zone (every pixel of every descendant is inside — no
+    kernel needed); BOUNDARY cells may meet the zone's edge and need
+    per-pixel tests; everything else provably misses the zone.
+    Classification is ``geom.rects_classify`` (sound for FULL/EMPTY,
+    conservative for BOUNDARY). Memory here is O(boundary frontier) —
+    perimeter-proportional; interior FULL cells stay UNEXPANDED (a
+    continent proven FULL at res 4 is one entry, not 4^(res-4))."""
     minx, miny, maxx, maxy = geom.bbox(rr)
     r0 = res
     while r0 > 1 and _bbox_cell_count(minx, miny, maxx, maxy, r0) > _START_CELLS:
         r0 -= 1
     cand = cells.cells_for_bbox(minx, miny, maxx, maxy, r0)
-    full_parts: list[np.ndarray] = []
+    full_groups: list[tuple[np.ndarray, int]] = []
     boundary = np.empty(0, dtype=np.int64)
     r = r0
     while len(cand):
@@ -75,24 +79,58 @@ def zone_raster_cover(
             stats["classify_calls"] = stats.get("classify_calls", 0) + 1
             stats["cells_classified"] = stats.get("cells_classified", 0) + len(cand)
         full = cand[cls == 1]
+        if len(full):
+            full_groups.append((full, r))
         if r == res:
-            if len(full):
-                full_parts.append(full)
             boundary = cand[cls == 2]
             break
-        if len(full):
-            k = 2 * (res - r)
-            full_parts.append(
-                (
-                    (full[:, None] << k)
-                    + np.arange(1 << k, dtype=np.int64)[None, :]
-                ).ravel()
-            )
         cand = cand[cls == 2]
         cand = ((cand[:, None] << 2) + np.arange(4, dtype=np.int64)[None, :]).ravel()
         r += 1
+    return full_groups, boundary
+
+
+def _iter_full_cells(
+    full_groups: list[tuple[np.ndarray, int]], res: int, step: int
+) -> Iterator[np.ndarray]:
+    """Expand coarse FULL cells to res-cells lazily, ≤ ~``step`` cells
+    per yielded chunk (ADVICE r4: never materialize the whole interior —
+    a continent-sized zone at fine res has O(area) descendants)."""
+    for full, r in full_groups:
+        k = 2 * (res - r)
+        per = np.int64(1) << k
+        if per >= step:
+            # one coarse cell expands to ≥ step descendants: walk its
+            # descendant index range in step-sized windows
+            for c in full:
+                base = np.int64(c) << k
+                for s in range(0, int(per), step):
+                    e = min(int(per), s + step)
+                    yield base + np.arange(s, e, dtype=np.int64)
+        else:
+            # many coarse cells per chunk: broadcast-expand groups of
+            # ~step//per cells at a time (≤ step cells per chunk)
+            g = max(1, step // int(per))
+            for chunk in _chunked(full, g):
+                yield (
+                    (chunk[:, None] << k)
+                    + np.arange(int(per), dtype=np.int64)[None, :]
+                ).ravel()
+
+
+def zone_raster_cover(
+    rr, res: int, stats: dict | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """→ (full_cells, boundary_cells) at ``res`` for one zone. Eager
+    convenience wrapper over ``_coarse_cover`` — materializes the FULL
+    interior, so peak memory is O(interior area in cells); bounded at
+    the res values used in tests/oracles (≤ 9), but streaming consumers
+    (the rasterizers/LUT builders) go through ``_coarse_cover`` +
+    ``_iter_full_cells`` instead and never hold the full interior."""
+    full_groups, boundary = _coarse_cover(rr, res, stats)
+    parts = list(_iter_full_cells(full_groups, res, 1 << 20))
     full_cells = (
-        np.concatenate(full_parts) if full_parts else np.empty(0, dtype=np.int64)
+        np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
     )
     return full_cells, boundary
 
@@ -151,20 +189,19 @@ def _zone_mask_row_batches(
     """One zone → row batches for ``_RASTER_SCHEMA``, planet-safe:
     hierarchical cover, closed-form all-ones masks for FULL cells, and
     pixel kernels only on BOUNDARY cells in ≤ ``max_pixels`` chunks."""
-    full, bnd = zone_raster_cover(rr, res, stats)
+    full_groups, bnd = _coarse_cover(rr, res, stats)
     step = max(1, max_pixels // (px * px))
-    if len(full):
-        ones = np.packbits(np.ones(px * px, dtype=bool)).tobytes()
-        for chunk in _chunked(full, step):
-            yield [
-                {
-                    "zone_id": int(zid),
-                    "cell": int(c),
-                    "mask": ones,
-                    "n_inside": px * px,
-                }
-                for c in chunk
-            ]
+    ones = np.packbits(np.ones(px * px, dtype=bool)).tobytes()
+    for chunk in _iter_full_cells(full_groups, res, step):
+        yield [
+            {
+                "zone_id": int(zid),
+                "cell": int(c),
+                "mask": ones,
+                "n_inside": px * px,
+            }
+            for c in chunk
+        ]
     for chunk in _chunked(bnd, step):
         if stats is not None:
             stats["kernel_calls"] = stats.get("kernel_calls", 0) + 1
@@ -395,9 +432,9 @@ def _zone_bitset_row_batches(
     h = 180.0 / nf
     pow2 = np.int64(1) << np.arange(64, dtype=np.int64)
     base = {"zone_id": int(zid), "rank": int(rk), "area": float(area)}
-    full, bnd = zone_raster_cover(rr, res, stats)
+    full_groups, bnd = _coarse_cover(rr, res, stats)
     step = max(1, max_pixels // (px * px))
-    for chunk in _chunked(full, step):
+    for chunk in _iter_full_cells(full_groups, res, step):
         yield [
             dict(base, cell=int(c), mask_bits=-1, full_bits=-1, touch_bits=-1)
             for c in chunk
@@ -698,7 +735,10 @@ def tile_raster_cover(
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """→ (full_tx, full_ty, bnd_tx, bnd_ty) at zoom ``z`` — the mercator
     analog of ``zone_raster_cover`` (same FULL/EMPTY/BOUNDARY descent,
-    tile children are the 2×2 subdivision)."""
+    tile children are the 2×2 subdivision). Like that eager wrapper this
+    materializes the FULL interior — O(interior tiles) peak memory,
+    bounded at the zooms used here (≤ 9); a finer-zoom deployment should
+    stream expansions as ``_iter_full_cells`` does for the quadkey grid."""
     minx, miny, maxx, maxy = geom.bbox(rr)
 
     def _tiles_at(zz):

@@ -92,6 +92,35 @@ RULES_CONTAINED2_ID_SCHEMA = T.StructType(
     ]
 )
 
+# normalized chain-keyed representation (r5: the generalized bounded
+# contained_by loop, VERDICT r4 #3): one table per rule kind for ALL
+# depths, keyed by the chain of container osm_ids from the outermost
+# hop inward. The legacy depth-1/-2 tables above remain accepted
+# make_rules inputs and are folded into these.
+RULES_CHAIN_LEVELS_SCHEMA = T.StructType(
+    [
+        T.StructField("country", T.StringType(), False),
+        T.StructField("depth", T.IntegerType(), False),
+        T.StructField("chain", T.ArrayType(T.StringType(), False), False),
+        T.StructField("admin_level", T.StringType(), False),
+        T.StructField("zone_type", T.StringType(), False),
+    ]
+)
+RULES_CHAIN_ID_SCHEMA = T.StructType(
+    [
+        T.StructField("country", T.StringType(), False),
+        T.StructField("depth", T.IntegerType(), False),
+        T.StructField("chain", T.ArrayType(T.StringType(), False), False),
+        T.StructField("osm_id", T.StringType(), False),
+        T.StructField("zone_type", T.StringType(), True),
+    ]
+)
+
+# default recursion cap, matching the data: libpostal nests at most one
+# extra contained_by level; anything deeper is a parse error unless the
+# caller raises max_depth explicitly (never a silent mistype)
+DEFAULT_CONTAINED_DEPTH = 2
+
 
 # ---------------------------------------------------------------------------
 # libpostal YAML rule source (S8): the reference embeds 242 country rule
@@ -182,11 +211,66 @@ def parse_mini_yaml(text: str) -> dict:
     return root
 
 
-def parse_libpostal_yaml(country: str, text: str) -> tuple[list, list, list]:
-    """One country file → (levels, id_overrides, contained_by) tuples in
-    the make_rules shape. ValueError on schema violations (the serde
-    parity: a map where a scalar type name is required, e.g. the
-    mis-indented document of zone_typer.rs:277-293)."""
+def _walk_contained(
+    country: str,
+    cc: str,
+    sub: dict,
+    chain: tuple,
+    chain_levels: list,
+    chain_ids: list,
+    max_depth: int,
+) -> None:
+    """Recursive contained_by walk (zone_typer.rs:143-157 recurses
+    unboundedly; here bounded by ``max_depth``, a hard parse error —
+    never a silent mistype). ``chain`` is the container-osm-id path from
+    the outermost hop to the rule map being walked."""
+    depth = len(chain)
+    label = chain[-1]
+    for otype_i, m_i in ((sub.get("overrides") or {}).get("id") or {}).items():
+        for oid_i, zt in m_i.items():
+            if zt is not None and not isinstance(zt, str):
+                raise ValueError(
+                    f"{country}: contained_by {label!r} id override "
+                    f"{oid_i!r} must be scalar"
+                )
+            chain_ids.append((cc, depth, list(chain), f"{otype_i}:{oid_i}", zt))
+    for lvl, zt in (sub.get("admin_level") or {}).items():
+        if not isinstance(zt, str):
+            raise ValueError(
+                f"{country}: contained_by {label!r} admin_level[{lvl!r}] must be scalar"
+            )
+        chain_levels.append((cc, depth, list(chain), str(lvl), zt))
+    nested = (sub.get("overrides") or {}).get("contained_by") or {}
+    if nested and depth >= max_depth:
+        raise ValueError(
+            f"{country}: contained_by nesting deeper than {max_depth} "
+            "levels is not supported"
+        )
+    for otype2, m2 in nested.items():
+        for oid2, sub2 in m2.items():
+            if not isinstance(sub2, dict):
+                raise ValueError(f"{country}: contained_by {oid2!r} must be a rule map")
+            _walk_contained(
+                country,
+                cc,
+                sub2,
+                chain + (f"{otype2}:{oid2}",),
+                chain_levels,
+                chain_ids,
+                max_depth,
+            )
+
+
+def parse_libpostal_rules(
+    country: str, text: str, max_depth: int = DEFAULT_CONTAINED_DEPTH
+) -> dict:
+    """One country file → generalized rule lists:
+    ``{"levels", "id_overrides", "chain_levels", "chain_ids"}`` where the
+    chain lists carry (country, depth, chain, ..., zone_type) rows for
+    every contained_by nesting depth up to ``max_depth``. ValueError on
+    schema violations (the serde parity: a map where a scalar type name
+    is required, e.g. the mis-indented document of
+    zone_typer.rs:277-293) and on nesting beyond ``max_depth``."""
     doc = parse_mini_yaml(text)
     cc = country.upper()
     levels = []
@@ -203,69 +287,53 @@ def parse_libpostal_yaml(country: str, text: str) -> tuple[list, list, list]:
             if zt is not None and not isinstance(zt, str):
                 raise ValueError(f"{country}: id override {oid!r} must be scalar")
             id_rules.append((cc, f"{otype}:{oid}", zt))  # None = explicitly untyped
-    contained = []
-    contained2 = []
-    contained_ids = []
-    contained_ids2 = []
+    chain_levels: list = []
+    chain_ids: list = []
     for otype, m in (ovr.get("contained_by") or {}).items():
         for oid, sub in m.items():
             if not isinstance(sub, dict):
                 raise ValueError(f"{country}: contained_by {oid!r} must be a rule map")
-            outer = f"{otype}:{oid}"
-            # the sub-rules' own id overrides — the recursion checks
-            # these before the nested contained_by and the level map
-            for otype_i, m_i in ((sub.get("overrides") or {}).get("id") or {}).items():
-                for oid_i, zt in m_i.items():
-                    if zt is not None and not isinstance(zt, str):
-                        raise ValueError(
-                            f"{country}: contained_by {oid!r} id override "
-                            f"{oid_i!r} must be scalar"
-                        )
-                    contained_ids.append((cc, outer, f"{otype_i}:{oid_i}", zt))
-            for lvl, zt in (sub.get("admin_level") or {}).items():
-                if not isinstance(zt, str):
-                    raise ValueError(
-                        f"{country}: contained_by {oid!r} admin_level[{lvl!r}] must be scalar"
-                    )
-                contained.append((cc, outer, str(lvl), zt))
-            # one RECURSIVE hop (zone_typer.rs:143-157): the container's
-            # own contained_by sub-rules; deeper nesting is a hard parse
-            # error, never a silent mistype
-            for otype2, m2 in ((sub.get("overrides") or {}).get("contained_by") or {}).items():
-                for oid2, sub2 in m2.items():
-                    if not isinstance(sub2, dict):
-                        raise ValueError(
-                            f"{country}: contained_by {oid2!r} must be a rule map"
-                        )
-                    if (sub2.get("overrides") or {}).get("contained_by"):
-                        raise ValueError(
-                            f"{country}: contained_by nesting deeper than 2 "
-                            "levels is not supported"
-                        )
-                    inner = f"{otype2}:{oid2}"
-                    for otype_j, m_j in (
-                        (sub2.get("overrides") or {}).get("id") or {}
-                    ).items():
-                        for oid_j, zt in m_j.items():
-                            if zt is not None and not isinstance(zt, str):
-                                raise ValueError(
-                                    f"{country}: contained_by {oid2!r} id "
-                                    f"override {oid_j!r} must be scalar"
-                                )
-                            contained_ids2.append(
-                                (cc, outer, inner, f"{otype_j}:{oid_j}", zt)
-                            )
-                    for lvl, zt in (sub2.get("admin_level") or {}).items():
-                        if not isinstance(zt, str):
-                            raise ValueError(
-                                f"{country}: contained_by {oid2!r} "
-                                f"admin_level[{lvl!r}] must be scalar"
-                            )
-                        contained2.append((cc, outer, inner, str(lvl), zt))
-    return levels, id_rules, contained, contained2, contained_ids, contained_ids2
+            _walk_contained(
+                country, cc, sub, (f"{otype}:{oid}",), chain_levels, chain_ids, max_depth
+            )
+    return {
+        "levels": levels,
+        "id_overrides": id_rules,
+        "chain_levels": chain_levels,
+        "chain_ids": chain_ids,
+    }
 
 
-def load_libpostal_rules(spark: SparkSession, folder: str) -> dict[str, DataFrame]:
+def parse_libpostal_yaml(country: str, text: str) -> tuple[list, list, list, list, list, list]:
+    """Legacy-shape wrapper over ``parse_libpostal_rules`` at the
+    default depth cap: one country file → (levels, id_overrides,
+    contained_by, contained_by2, contained_id_overrides,
+    contained_id_overrides2) tuples in the make_rules shape."""
+    parsed = parse_libpostal_rules(country, text, max_depth=2)
+    contained, contained2, contained_ids, contained_ids2 = [], [], [], []
+    for cc, depth, chain, lvl, zt in parsed["chain_levels"]:
+        if depth == 1:
+            contained.append((cc, chain[0], lvl, zt))
+        else:
+            contained2.append((cc, chain[0], chain[1], lvl, zt))
+    for cc, depth, chain, oid, zt in parsed["chain_ids"]:
+        if depth == 1:
+            contained_ids.append((cc, chain[0], oid, zt))
+        else:
+            contained_ids2.append((cc, chain[0], chain[1], oid, zt))
+    return (
+        parsed["levels"],
+        parsed["id_overrides"],
+        contained,
+        contained2,
+        contained_ids,
+        contained_ids2,
+    )
+
+
+def load_libpostal_rules(
+    spark: SparkSession, folder: str, max_depth: int = DEFAULT_CONTAINED_DEPTH
+) -> dict[str, DataFrame]:
     """Load a libpostal ``boundaries/osm`` folder of ``<cc>.yaml`` files
     into the rule tables (read_libpostal_yaml_folder parity,
     zone_typer.rs:162-189: unparseable files are skipped with a
@@ -275,28 +343,28 @@ def load_libpostal_rules(spark: SparkSession, folder: str) -> dict[str, DataFram
 
     levels: list = []
     id_rules: list = []
-    contained: list = []
-    contained2: list = []
-    contained_ids: list = []
-    contained_ids2: list = []
+    chain_levels: list = []
+    chain_ids: list = []
     for name in sorted(os.listdir(folder)):
         if not (name.endswith(".yaml") or name.endswith(".yml")):
             continue
         cc = os.path.splitext(name)[0]
         try:
             with open(os.path.join(folder, name), encoding="utf-8") as fh:
-                lv, ids, cb, cb2, cbi, cbi2 = parse_libpostal_yaml(cc, fh.read())
+                parsed = parse_libpostal_rules(cc, fh.read(), max_depth=max_depth)
         except ValueError as e:
             warnings.warn(f"skipping rules file {name}: {e}", stacklevel=2)
             continue
-        levels.extend(lv)
-        id_rules.extend(ids)
-        contained.extend(cb)
-        contained2.extend(cb2)
-        contained_ids.extend(cbi)
-        contained_ids2.extend(cbi2)
+        levels.extend(parsed["levels"])
+        id_rules.extend(parsed["id_overrides"])
+        chain_levels.extend(parsed["chain_levels"])
+        chain_ids.extend(parsed["chain_ids"])
     return make_rules(
-        spark, levels, id_rules, contained, contained2, contained_ids, contained_ids2
+        spark,
+        levels,
+        id_rules,
+        contained_chain_levels=chain_levels,
+        contained_chain_ids=chain_ids,
     )
 
 
@@ -308,10 +376,36 @@ def make_rules(
     contained_by2: list[tuple] = (),
     contained_id_overrides: list[tuple] = (),
     contained_id_overrides2: list[tuple] = (),
+    contained_chain_levels: list[tuple] = (),
+    contained_chain_ids: list[tuple] = (),
 ) -> dict[str, DataFrame]:
+    """Build the rule-table dict. The legacy depth-1/-2 argument shapes
+    and the generalized chain shapes ((country, depth, chain, ...,
+    zone_type), any depth) are both accepted; everything is folded into
+    the normalized ``contained_levels`` / ``contained_ids`` tables that
+    ``type_zones`` consumes. The legacy per-depth tables remain in the
+    dict (built from the legacy args only) for callers that inspect
+    them."""
+    chain_levels = [
+        (cc, 1, [outer], lvl, zt) for cc, outer, lvl, zt in contained_by
+    ] + [
+        (cc, 2, [outer, inner], lvl, zt)
+        for cc, outer, inner, lvl, zt in contained_by2
+    ] + [tuple(r) for r in contained_chain_levels]
+    chain_ids = [
+        (cc, 1, [outer], oid, zt)
+        for cc, outer, oid, zt in contained_id_overrides
+    ] + [
+        (cc, 2, [outer, inner], oid, zt)
+        for cc, outer, inner, oid, zt in contained_id_overrides2
+    ] + [tuple(r) for r in contained_chain_ids]
     return {
         "levels": spark.createDataFrame(list(levels), RULES_LEVELS_SCHEMA),
         "id_overrides": spark.createDataFrame(list(id_overrides), RULES_ID_SCHEMA),
+        "contained_levels": spark.createDataFrame(
+            chain_levels, RULES_CHAIN_LEVELS_SCHEMA
+        ),
+        "contained_ids": spark.createDataFrame(chain_ids, RULES_CHAIN_ID_SCHEMA),
         "contained_by": spark.createDataFrame(list(contained_by), RULES_CONTAINED_SCHEMA),
         "contained_by2": spark.createDataFrame(
             list(contained_by2), RULES_CONTAINED2_SCHEMA
@@ -386,6 +480,32 @@ def type_zones(zones: DataFrame, inclusions: DataFrame, rules: dict[str, DataFra
     Zones with no country, unknown level, or an explicit-NULL override end
     with zone_type NULL (the reference's error paths → untyped,
     src/lib.rs:146-181), to be dropped by clean_untagged_zones.
+
+    The contained_by recursion (zone_typer.rs:143-157 — unbounded in the
+    reference) is evaluated as a BOUNDED LOOP over nesting depth
+    d = 1..k, where k is the max depth present in the rule tables (set
+    at parse time; DEFAULT_CONTAINED_DEPTH unless the caller raised it):
+    at each depth the most specific eligible parent container nested
+    under the previously chosen chain is selected, then every per-depth
+    rule lookup folds into ONE precedence expression mirroring the
+    recursion exactly:
+
+        T(d) = id_override(d)   if present — explicit NULL makes the
+                                whole branch yield NULL (the Rust
+                                returns Some(None) without consulting
+                                deeper hops or its own level map)
+             | T(d+1)           if the deeper hop produced a type
+             | level_map(d)
+
+    Top level special case: a TOP explicit-NULL override untypes the
+    zone outright, while a depth-≥1 explicit NULL falls through to the
+    country defaults — the ``.map(Some)`` flattening of
+    zone_typer.rs:151-156 loses the explicit-null marker.
+
+    All rule tables are broadcast (242-country dimension); the depth
+    loop adds one broadcast-join round per nesting level actually
+    present in the data (libpostal: 1), never a driver-side recursion
+    over zones.
     """
     lvl = F.coalesce(F.col("admin_level"), F.lit(0)).cast("string")
 
@@ -402,176 +522,109 @@ def type_zones(zones: DataFrame, inclusions: DataFrame, rules: dict[str, DataFra
         "left",
     ).drop("_ov_country", "_ov_osm_id")
 
-    # (2) contained_by: pick the most specific container that HAS
-    # sub-rules, then evaluate its rule maps for this zone. A container
-    # exists if ANY of its maps has entries — its level map, its own id
-    # overrides, or a nested contained_by (a container with only
-    # overrides.id must still be selectable, else its rules never apply)
-    container_sources = [
-        rules["contained_by"].select("country", "container_osm_id")
-    ]
-    if rules.get("contained_id_overrides") is not None:
-        container_sources.append(
-            rules["contained_id_overrides"].select("country", "container_osm_id")
-        )
-    if rules.get("contained_by2") is not None:
-        container_sources.append(
-            rules["contained_by2"].select(
-                "country", F.col("outer_container_osm_id").alias("container_osm_id")
-            )
-        )
-    containers_all = container_sources[0]
-    for src in container_sources[1:]:
-        containers_all = containers_all.unionByName(src)
-    containers = (
-        containers_all.select(
-            F.col("country").alias("_cb_country"), "container_osm_id"
-        )
-        .distinct()
-    )
+    # (2) contained_by: the generalized depth loop over the normalized
+    # chain-keyed tables (see make_rules)
+    clv = rules.get("contained_levels")
+    cid = rules.get("contained_ids")
+    max_d = 0
+    for t in (clv, cid):
+        if t is not None:
+            # rule-dim scalar (tiny broadcast table): the loop bound
+            d_max = t.agg(F.max("depth")).collect()[0][0]
+            if d_max is not None:
+                max_d = max(max_d, int(d_max))
+
     parent_ids = zones.select(
         F.col("id").alias("parent"),
         F.col("osm_id").alias("_p_osm_id"),
         F.coalesce(F.col("admin_level"), F.lit(0)).alias("_p_level"),
     )
-    child_cc = zones.select(F.col("id").alias("child"), F.col("country_code").alias("_c_cc"))
-    cand = (
-        inclusions.join(parent_ids, "parent")
-        .join(F.broadcast(containers), F.col("_p_osm_id") == F.col("container_osm_id"))
-        .join(child_cc, "child")
-        .filter(F.col("_cb_country") == F.col("_c_cc"))
+    child_cc = zones.select(
+        F.col("id").alias("child"), F.col("country_code").alias("_c_cc")
     )
-    chosen = cand.groupBy("child").agg(
-        F.max_by(
-            "container_osm_id", F.struct(F.col("_p_level"), -F.col("parent"))
-        ).alias("_chosen_container")
-    )
-    z = z.join(chosen.withColumnRenamed("child", "id"), "id", "left")
-
-    sub_rules = rules["contained_by"].select(
-        F.col("country").alias("_sr_country"),
-        F.col("container_osm_id").alias("_sr_container"),
-        F.col("admin_level").alias("_sr_level"),
-        F.col("zone_type").alias("_sr_type"),
-    )
-    z = z.join(
-        F.broadcast(sub_rules),
-        (F.col("country_code") == F.col("_sr_country"))
-        & (F.col("_chosen_container") == F.col("_sr_container"))
-        & (lvl == F.col("_sr_level")),
-        "left",
-    ).drop("_sr_country", "_sr_container", "_sr_level")
-
-    # (2a') the chosen container's own id-override map — the recursion
-    # (get_overrided_type of the sub-rules) checks it BEFORE the nested
-    # contained_by and the level map; explicit NULL = explicitly untyped
-    sub_ids = rules.get("contained_id_overrides")
-    if sub_ids is not None:
-        si = sub_ids.select(
-            F.col("country").alias("_si_country"),
-            F.col("container_osm_id").alias("_si_container"),
-            F.col("osm_id").alias("_si_osm_id"),
-            F.coalesce(F.col("zone_type"), F.lit(EXPLICIT_NONE)).alias("_si_type"),
-        )
-        z = z.join(
-            F.broadcast(si),
-            (F.col("country_code") == F.col("_si_country"))
-            & (F.col("_chosen_container") == F.col("_si_container"))
-            & (F.col("osm_id") == F.col("_si_osm_id")),
-            "left",
-        ).drop("_si_country", "_si_container", "_si_osm_id")
-    else:
-        z = z.withColumn("_si_type", F.lit(None).cast("string"))
-
-    # (2b) second RECURSIVE hop (zone_typer.rs:143-157: get_zone_type on
-    # the chosen container's rules re-enters contained_by before its
-    # admin_level map): among the child's parents, the most specific one
-    # carrying sub-rules NESTED under the chosen outer container
-    inner_rules = rules.get("contained_by2")
-    inner_ids = rules.get("contained_id_overrides2")
-    if inner_rules is not None:
-        # an inner container exists if EITHER of its maps has entries
-        inner_keys = inner_rules.select(
-            "country", "outer_container_osm_id", "inner_container_osm_id"
-        )
-        if inner_ids is not None:
-            inner_keys = inner_keys.unionByName(
-                inner_ids.select(
-                    "country", "outer_container_osm_id", "inner_container_osm_id"
-                )
+    prefix_df = None  # per-child chosen chain so far: (child, _ch1.._ch{d-1})
+    drop_cols: list[str] = []
+    for d in range(1, max_d + 1):
+        # chains of length d that exist — via their own rule maps OR as
+        # a prefix of a deeper chain (a container carrying only nested
+        # rules must still be selectable, else its rules never apply)
+        chains_d = None
+        for t in (clv, cid):
+            if t is None:
+                continue
+            cd = t.filter(F.col("depth") >= d).select(
+                "country", F.slice("chain", 1, d).alias("chain")
             )
-        containers2 = inner_keys.select(
-            F.col("country").alias("_cb2_country"),
-            F.col("outer_container_osm_id").alias("_cb2_outer"),
-            F.col("inner_container_osm_id").alias("_cb2_inner"),
-        ).distinct()
-        parent_ids2 = zones.select(
-            F.col("id").alias("parent"),
-            F.col("osm_id").alias("_p2_osm_id"),
-            F.coalesce(F.col("admin_level"), F.lit(0)).alias("_p2_level"),
+            chains_d = cd if chains_d is None else chains_d.unionByName(cd)
+        chains_d = chains_d.distinct().select(
+            F.col("country").alias("_cb_country"),
+            F.col("chain").alias("_cb_chain"),
         )
-        child_cc2 = zones.select(
-            F.col("id").alias("child"), F.col("country_code").alias("_c2_cc")
+        cand = inclusions.join(parent_ids, "parent").join(child_cc, "child")
+        if prefix_df is not None:
+            cand = cand.join(prefix_df, "child")
+        cond = (F.col("_cb_country") == F.col("_c_cc")) & (
+            F.col("_p_osm_id") == F.element_at(F.col("_cb_chain"), d)
         )
-        cand2 = (
-            inclusions.join(parent_ids2, "parent")
-            .join(chosen, "child")
-            .join(
-                F.broadcast(containers2),
-                (F.col("_p2_osm_id") == F.col("_cb2_inner"))
-                & (F.col("_chosen_container") == F.col("_cb2_outer")),
-            )
-            .join(child_cc2, "child")
-            .filter(F.col("_cb2_country") == F.col("_c2_cc"))
-        )
-        chosen2 = cand2.groupBy("child").agg(
+        for i in range(1, d):
+            cond = cond & (F.col(f"_ch{i}") == F.element_at(F.col("_cb_chain"), i))
+        cand = cand.join(F.broadcast(chains_d), cond)
+        # deterministic "most specific container": max admin_level, then
+        # min container id (module docstring; replaces the reference's
+        # R-tree iteration order)
+        chosen_d = cand.groupBy("child").agg(
             F.max_by(
-                "_cb2_inner", F.struct(F.col("_p2_level"), -F.col("parent"))
-            ).alias("_chosen_inner")
+                "_p_osm_id", F.struct(F.col("_p_level"), -F.col("parent"))
+            ).alias(f"_ch{d}")
         )
-        z = z.join(chosen2.withColumnRenamed("child", "id"), "id", "left")
-        sub2 = inner_rules.select(
-            F.col("country").alias("_s2_country"),
-            F.col("outer_container_osm_id").alias("_s2_outer"),
-            F.col("inner_container_osm_id").alias("_s2_inner"),
-            F.col("admin_level").alias("_s2_level"),
-            F.col("zone_type").alias("_s2_type"),
+        z = z.join(chosen_d.withColumnRenamed("child", "id"), "id", "left")
+        prefix_df = (
+            chosen_d if prefix_df is None else prefix_df.join(chosen_d, "child")
         )
-        z = z.join(
-            F.broadcast(sub2),
-            (F.col("country_code") == F.col("_s2_country"))
-            & (F.col("_chosen_container") == F.col("_s2_outer"))
-            & (F.col("_chosen_inner") == F.col("_s2_inner"))
-            & (lvl == F.col("_s2_level")),
-            "left",
-        ).drop("_s2_country", "_s2_outer", "_s2_inner", "_s2_level")
-        # (2b') the INNER container's own id-override map — checked by
-        # the inner recursion before the inner level map
-        if inner_ids is not None:
-            i2 = inner_ids.select(
-                F.col("country").alias("_i2_country"),
-                F.col("outer_container_osm_id").alias("_i2_outer"),
-                F.col("inner_container_osm_id").alias("_i2_inner"),
-                F.col("osm_id").alias("_i2_osm_id"),
+
+        # the chosen chain's rule maps at this depth: its scoped id
+        # overrides (checked FIRST by the recursion) and its level map
+        if cid is not None:
+            idd = cid.filter(F.col("depth") == d).select(
+                F.col("country").alias("_ic_country"),
+                F.col("chain").alias("_ic_chain"),
+                F.col("osm_id").alias("_ic_osm_id"),
                 F.coalesce(F.col("zone_type"), F.lit(EXPLICIT_NONE)).alias(
-                    "_i2_type"
+                    f"_id{d}_type"
                 ),
             )
-            z = z.join(
-                F.broadcast(i2),
-                (F.col("country_code") == F.col("_i2_country"))
-                & (F.col("_chosen_container") == F.col("_i2_outer"))
-                & (F.col("_chosen_inner") == F.col("_i2_inner"))
-                & (F.col("osm_id") == F.col("_i2_osm_id")),
-                "left",
-            ).drop("_i2_country", "_i2_outer", "_i2_inner", "_i2_osm_id")
+            cond_i = (F.col("country_code") == F.col("_ic_country")) & (
+                F.col("osm_id") == F.col("_ic_osm_id")
+            )
+            for i in range(1, d + 1):
+                cond_i = cond_i & (
+                    F.col(f"_ch{i}") == F.element_at(F.col("_ic_chain"), i)
+                )
+            z = z.join(F.broadcast(idd), cond_i, "left").drop(
+                "_ic_country", "_ic_chain", "_ic_osm_id"
+            )
         else:
-            z = z.withColumn("_i2_type", F.lit(None).cast("string"))
-        z = z.drop("_chosen_inner")
-    else:
-        z = z.withColumn("_s2_type", F.lit(None).cast("string")).withColumn(
-            "_i2_type", F.lit(None).cast("string")
-        )
+            z = z.withColumn(f"_id{d}_type", F.lit(None).cast("string"))
+        if clv is not None:
+            lvd = clv.filter(F.col("depth") == d).select(
+                F.col("country").alias("_lc_country"),
+                F.col("chain").alias("_lc_chain"),
+                F.col("admin_level").alias("_lc_level"),
+                F.col("zone_type").alias(f"_lv{d}_type"),
+            )
+            cond_l = (F.col("country_code") == F.col("_lc_country")) & (
+                lvl == F.col("_lc_level")
+            )
+            for i in range(1, d + 1):
+                cond_l = cond_l & (
+                    F.col(f"_ch{i}") == F.element_at(F.col("_lc_chain"), i)
+                )
+            z = z.join(F.broadcast(lvd), cond_l, "left").drop(
+                "_lc_country", "_lc_chain", "_lc_level"
+            )
+        else:
+            z = z.withColumn(f"_lv{d}_type", F.lit(None).cast("string"))
+        drop_cols += [f"_ch{d}", f"_id{d}_type", f"_lv{d}_type"]
 
     # (3) country default admin_level map
     defaults = rules["levels"].select(
@@ -585,44 +638,25 @@ def type_zones(zones: DataFrame, inclusions: DataFrame, rules: dict[str, DataFra
         "left",
     ).drop("_df_country", "_df_level")
 
-    # precedence mirrors the recursion: outer id override, then within
-    # the chosen container its OWN id override, then the inner
-    # contained_by hop, then the container's level map, then the
-    # country defaults. One asymmetry that IS the reference's behavior
-    # (zone_typer.rs:151-156: the sub-rules' Option<ZoneType> result is
-    # flattened with `.map(Some)`, losing the explicit-null marker): an
-    # explicit-NULL id override inside a container skips the
-    # container's own maps but FALLS THROUGH to the country defaults —
-    # only a top-level explicit-NULL override untypes a zone outright.
-    typed = (
-        F.when(
-            F.col("_ov_type").isNotNull(),
-            F.when(F.col("_ov_type") == EXPLICIT_NONE, F.lit(None)).otherwise(
-                F.col("_ov_type")
-            ),
-        )
-        .when(
-            F.col("_si_type").isNotNull(),
-            F.when(F.col("_si_type") == EXPLICIT_NONE, F.col("_df_type")).otherwise(
-                F.col("_si_type")
-            ),
-        )
-        .when(
-            F.col("_i2_type").isNotNull(),
-            # inner explicit-NULL: the inner rules yield nothing, so the
-            # sub falls past its contained_by to its OWN level map, then
-            # the country defaults (same Option flattening as _si)
-            F.when(
-                F.col("_i2_type") == EXPLICIT_NONE,
-                F.coalesce(F.col("_sr_type"), F.col("_df_type")),
-            ).otherwise(F.col("_i2_type")),
-        )
-        .otherwise(F.coalesce(F.col("_s2_type"), F.col("_sr_type"), F.col("_df_type")))
-    )
+    # precedence fold, innermost depth outward (T(d) in the docstring).
+    # Each V is referenced ONCE per level (the coalesce form), so the
+    # expression tree is linear in max_d, not exponential.
+    V = F.lit(None).cast("string")
+    for d in range(max_d, 0, -1):
+        idc = F.col(f"_id{d}_type")
+        V = F.when(
+            idc.isNotNull(),
+            F.when(idc == EXPLICIT_NONE, F.lit(None)).otherwise(idc),
+        ).otherwise(F.coalesce(V, F.col(f"_lv{d}_type")))
+    typed = F.when(
+        F.col("_ov_type").isNotNull(),
+        F.when(F.col("_ov_type") == EXPLICIT_NONE, F.lit(None)).otherwise(
+            F.col("_ov_type")
+        ),
+    ).otherwise(F.coalesce(V, F.col("_df_type")))
 
     return z.withColumn("zone_type", typed).drop(
-        "_ov_type", "_si_type", "_i2_type", "_s2_type", "_sr_type", "_df_type",
-        "_chosen_container",
+        "_ov_type", "_df_type", *drop_cols
     )
 
 

@@ -616,3 +616,36 @@ def test_lut_grid_mismatch_rejected(spark):
     tlut6 = tile_pixel_lut(zones, z=6)
     with pytest.raises(ValueError, match="lut_z=6"):
         assign_zones_tiles_raster(pts, zones, z=7, lut=tlut6)
+
+
+def test_lazy_full_expansion_matches_eager_and_bounds_chunks():
+    """ADVICE r4: the streaming rasterizers must expand FULL-interior
+    cells lazily. The chunked iterator must (a) reproduce the eager
+    zone_raster_cover full set exactly, (b) never yield a chunk larger
+    than ~step, and (c) keep the descent state coarse (no materialized
+    interior inside _coarse_cover's groups)."""
+    import numpy as np
+
+    from cosmospark.raster import (
+        _coarse_cover,
+        _iter_full_cells,
+        zone_raster_cover,
+    )
+
+    rr = _star_rings()
+    res = 7
+    eager_full, _ = zone_raster_cover(rr, res)
+    groups, _ = _coarse_cover(rr, res)
+    step = 64
+    chunks = list(_iter_full_cells(groups, res, step))
+    assert chunks, "star zone has an interior at res 7"
+    # (b) bounded chunks: a group of coarse cells each expanding to
+    # `per` descendants may overshoot by < per, never by a full interior
+    assert max(len(c) for c in chunks) <= 2 * step
+    # (a) exact same cell set, order-insensitive
+    lazy_full = np.concatenate(chunks)
+    assert sorted(lazy_full.tolist()) == sorted(eager_full.tolist())
+    # (c) the descent itself holds only coarse/unexpanded cells:
+    # strictly fewer stored entries than the expanded interior
+    stored = sum(len(g) for g, _r in groups)
+    assert stored < len(eager_full)

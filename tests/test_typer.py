@@ -449,3 +449,101 @@ overrides:
         assert got["relation:2"] == "state_district"
         assert got["relation:3"] == "city_district"
         assert got["relation:4"] == "state_district"
+
+
+class TestContainedByDepthK:
+    """r5 (VERDICT r4 #3): the contained_by recursion generalized to a
+    bounded depth-k loop. A 3-level nest parses with max_depth=3 and
+    types through all three hops with the reference's precedence —
+    including the `.map(Some)` flattening at every depth."""
+
+    THREE_LEVEL_YAML = """
+---
+admin_level:
+  "2": country
+  "9": city
+overrides:
+  contained_by:
+    relation:
+      "100":
+        admin_level:
+          "9": suburb
+        overrides:
+          contained_by:
+            relation:
+              "200":
+                admin_level:
+                  "9": city_district
+                overrides:
+                  contained_by:
+                    relation:
+                      "300":
+                        admin_level:
+                          "9": initial_township
+                        overrides:
+                          id:
+                            relation:
+                              "401": state_district
+                              "402": null
+"""
+
+    def test_default_cap_rejects_depth3(self):
+        from cosmospark.typer import parse_libpostal_rules, parse_libpostal_yaml
+
+        with pytest.raises(ValueError, match="deeper than 2"):
+            parse_libpostal_yaml("fr", self.THREE_LEVEL_YAML)
+        with pytest.raises(ValueError, match="deeper than 2"):
+            parse_libpostal_rules("fr", self.THREE_LEVEL_YAML)
+
+    def test_parse_depth3_chains(self):
+        from cosmospark.typer import parse_libpostal_rules
+
+        parsed = parse_libpostal_rules("fr", self.THREE_LEVEL_YAML, max_depth=3)
+        chain3 = ["relation:100", "relation:200", "relation:300"]
+        assert ("FR", 3, chain3, "9", "initial_township") in parsed["chain_levels"]
+        assert ("FR", 3, chain3, "relation:401", "state_district") in parsed["chain_ids"]
+        assert ("FR", 3, chain3, "relation:402", None) in parsed["chain_ids"]
+        assert ("FR", 1, ["relation:100"], "9", "suburb") in parsed["chain_levels"]
+
+    def test_depth3_typing(self, spark):
+        from cosmospark.typer import parse_libpostal_rules
+
+        parsed = parse_libpostal_rules("fr", self.THREE_LEVEL_YAML, max_depth=3)
+        rules = make_rules(
+            spark,
+            parsed["levels"],
+            parsed["id_overrides"],
+            contained_chain_levels=parsed["chain_levels"],
+            contained_chain_ids=parsed["chain_ids"],
+        )
+        # container zones: 100 (lvl 4) ⊃ 200 (lvl 6) ⊃ 300 (lvl 8)
+        zones = spark.createDataFrame(
+            [
+                (1, "relation:1", 9, "FR"),    # in 300∧200∧100 → depth-3 level map
+                (2, "relation:401", 9, "FR"),  # in full chain → depth-3 id override
+                (3, "relation:402", 9, "FR"),  # explicit null at depth 3 → falls
+                                               # to depth-2 level map (flattening)
+                (4, "relation:4", 9, "FR"),    # in 200∧100 only → depth-2 map
+                (5, "relation:5", 9, "FR"),    # in 100 only → depth-1 map
+                (6, "relation:6", 9, "FR"),    # in none → country default
+                (10, "relation:100", 4, "FR"),
+                (20, "relation:200", 6, "FR"),
+                (30, "relation:300", 8, "FR"),
+            ],
+            "id long, osm_id string, admin_level int, country_code string",
+        )
+        incl = [(20, 10), (30, 20), (30, 10)]
+        for zid in (1, 2, 3):
+            incl += [(zid, 10), (zid, 20), (zid, 30)]
+        incl += [(4, 10), (4, 20), (5, 10)]
+        inclusions = spark.createDataFrame(incl, "child long, parent long")
+        got = {
+            r["osm_id"]: r["zone_type"]
+            for r in type_zones(zones, inclusions, rules).collect()
+        }
+        assert got["relation:1"] == "initial_township"
+        assert got["relation:401"] == "state_district"
+        assert got["relation:402"] == "city_district"
+        assert got["relation:4"] == "city_district"
+        assert got["relation:5"] == "suburb"
+        assert got["relation:6"] == "city"
