@@ -1065,6 +1065,231 @@ SELECT vec_id, adc FROM adc ORDER BY adc, vec_id LIMIT {PQ_TOPK}
 """
 
 
+# --- IVF-PQ composition (r5, VERDICT r4 #6): the standard production
+# memory-scale ANN shape — coarse IVF quantizer for partition pruning,
+# PQ codes of the RESIDUAL (x - coarse_centroid) for the in-list scan.
+# Query: probe the top-P coarse lists, ADC-scan ONLY those lists' codes
+# with a PER-LIST distance table (the query residual differs per list),
+# exact-rerank the pooled candidates. The scan stays whole-stage
+# codegen: per-list tables inline as a CASE over array literals.
+
+IVFPQ_POOL, IVFPQ_RERANK_K = 100, 10
+
+
+@functools.lru_cache(maxsize=4)
+def _ivf_pq_artifacts(sf_dir: str):
+    """(residual codebooks, query vector): PQ trained on the residuals
+    x - centroid[assigned_list]. Training-side list assignment uses
+    vectorized numpy cosine (1-ulp differences vs the engines' fold
+    arithmetic only perturb TRAINING inputs — the codebook is emitted
+    as identical literals/parquet to both engines, and code assignment
+    happens inside each engine's own plan, so nothing can drift)."""
+    import pyarrow.parquet as _pq
+
+    from cosmospark.ann import pq_train
+
+    t = _pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    df = t.to_pandas().sort_values("vec_id")
+    x = np.array([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
+    cents = np.array(_ivf_centroids(sf_dir), dtype=np.float64)
+    sims = (x @ cents.T) / (
+        np.linalg.norm(x, axis=1)[:, None] * np.linalg.norm(cents, axis=1)[None, :]
+    )
+    assigned = sims.argmax(axis=1)
+    resid = x - cents[assigned]
+    return pq_train(resid, PQ_M, PQ_K), x[0]
+
+
+def _ivf_pq_plan_parts(sf_dir: str):
+    """Shared driver-side planning for the Spark query and the oracle:
+    (cents, books, query vec, probed 1-based list ids, per-list
+    (residual-query, distance-tables))."""
+    from cosmospark.ann import pq_subspace_dists
+
+    cents = _ivf_centroids(sf_dir)
+    books, qv = _ivf_pq_artifacts(sf_dir)
+    m, k, dsub = books.shape
+    qn = float(np.sqrt(np.sum(np.asarray(qv, dtype=np.float64) ** 2)))
+    cn = [float(np.sqrt(np.sum(np.asarray(c) ** 2))) for c in cents]
+    qsim = []
+    for j, c in enumerate(cents):
+        acc = 0.0
+        for xx, yy in zip(qv, c):
+            acc += xx * yy
+        qsim.append(acc / (qn * cn[j]))
+    probes = [
+        p + 1 for p in sorted(range(IVF_K), key=lambda j: (-qsim[j], j))[:IVF_PROBES]
+    ]
+    per_list = {}
+    for p in probes:
+        qr = np.asarray(qv, dtype=np.float64) - np.asarray(
+            cents[p - 1], dtype=np.float64
+        )
+        dts = [
+            pq_subspace_dists(qr[None, j * dsub : (j + 1) * dsub], books[j])[0]
+            for j in range(m)
+        ]
+        per_list[p] = dts
+    return cents, books, qv, probes, per_list
+
+
+def q_ann_ivf_pq(spark, sf_dir):
+    """IVF-PQ approximate nearest neighbors, end to end:
+
+    1. coarse assignment — same bit-exact cosine-fold argmax as
+       ``ann_ivf`` (at 10⁹ vectors this is precomputed at write time
+       and the table is hive-partitioned by list_id: probing P of K
+       lists scans P/K of the data via Catalyst partition pruning);
+    2. residual PQ codes — one narrow Arrow pass
+       (``pq_encode`` on ``x - centroid[list]``), 8 bytes/vector on
+       the scan path;
+    3. ADC scan of ONLY the probed lists with a per-list distance
+       table (CASE over inlined literals — whole-stage codegen, no
+       Python);
+    4. exact L2 rerank of the top-``IVFPQ_POOL`` pool against the raw
+       embeddings.
+
+    Composes q_ann_ivf's pruning with q_ann_pq_rerank's compression —
+    the memory- AND IO-scale production shape."""
+    cents, books, qv, probes, per_list = _ivf_pq_plan_parts(sf_dir)
+    m, k, dsub = books.shape
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    scores = _ivf_scores_expr("embedding", cents, "spark")
+    lists = e.withColumn(
+        "list_id", F.expr(f"array_position({scores}, array_max({scores}))").cast("int")
+    )
+    filtered = lists.filter(
+        F.col("list_id").isin(probes) & (F.col("vec_id") != 0)
+    )
+    # residual = double(x) - centroid[list] (centroids as correctly
+    # rounded Spark literals; the oracle scans the same doubles from
+    # parquet — see sql_ann_pq's literal-parse note)
+    cent_arms = " ".join(
+        "WHEN {p} THEN array({vals})".format(
+            p=p,
+            vals=", ".join(f"{float(v)!r}D" for v in cents[p - 1]),
+        )
+        for p in probes
+    )
+    resid = (
+        f"zip_with(transform(embedding, x -> cast(x as double)), "
+        f"CASE list_id {cent_arms} END, (a, b) -> a - b)"
+    )
+    from cosmospark.ann import pq_encode
+
+    coded = pq_encode(
+        filtered.withColumn("resid", F.expr(resid)), books, vec_col="resid"
+    ).drop("embedding", "resid")
+    # per-list ADC: left-assoc chain of element_at lookups, selected by
+    # list_id — everything stays in codegen
+    arms = []
+    for p in probes:
+        terms = []
+        for j in range(m):
+            vals = ", ".join(f"{float(v)!r}D" for v in per_list[p][j])
+            terms.append(
+                f"element_at(array({vals}), element_at(codes, {j + 1}) + 1)"
+            )
+        arms.append(f"WHEN {p} THEN {' + '.join(terms)}")
+    adc = f"CASE list_id {' '.join(arms)} END"
+    pool = (
+        coded.withColumn("adc", F.expr(adc))
+        .orderBy("adc", "vec_id")
+        .limit(IVFPQ_POOL)
+        .select("vec_id")
+    )
+    qlit = ", ".join(f"{float(v)!r}D" for v in qv)
+    l2 = F.expr(
+        f"aggregate(zip_with(transform(embedding, x -> cast(x as double)),"
+        f" array({qlit}), (a, b) -> (a - b) * (a - b)),"
+        f" 0D, (acc, t) -> acc + t)"
+    )
+    return (
+        pool.join(e, "vec_id")
+        .withColumn("l2", l2)
+        .orderBy("l2", "vec_id")
+        .limit(IVFPQ_RERANK_K)
+        .select("vec_id", "l2")
+    )
+
+
+def sql_ann_ivf_pq(sf_dir: str) -> str:
+    cents, books, qv, probes, per_list = _ivf_pq_plan_parts(sf_dir)
+    m, k, dsub = books.shape
+    # every float constant through parquet (sql_ann_pq's 1-ulp note)
+    cent_rows = {"l": [], "cv": []}
+    for p in probes:
+        cent_rows["l"].append(p)
+        cent_rows["cv"].append([float(v) for v in cents[p - 1]])
+    book_rows = {"j": [], "c": [], "v": []}
+    for j in range(m):
+        for c in range(k):
+            book_rows["j"].append(j)
+            book_rows["c"].append(c)
+            book_rows["v"].append([float(x) for x in books[j, c]])
+    dt_rows = {"l": [], "j": [], "c": [], "dv": []}
+    for p in probes:
+        for j in range(m):
+            for c in range(k):
+                dt_rows["l"].append(p)
+                dt_rows["j"].append(j)
+                dt_rows["c"].append(c)
+                dt_rows["dv"].append(float(per_list[p][j][c]))
+    cent_path = _materialize_oracle_parquet("ann_ivfpq_cent", sf_dir, cent_rows)
+    book_path = _materialize_oracle_parquet("ann_ivfpq_book", sf_dir, book_rows)
+    dt_path = _materialize_oracle_parquet("ann_ivfpq_dt", sf_dir, dt_rows)
+    q_path = _materialize_oracle_parquet(
+        "ann_ivfpq_query", sf_dir, {"q": [[float(v) for v in qv]]}
+    )
+    scores = _ivf_scores_expr("embedding", cents, "duck")
+    probe_lits = ", ".join(str(p) for p in probes)
+    return f"""
+WITH lists AS (
+  SELECT vec_id, embedding,
+         CAST(list_position({scores}, list_max({scores})) AS INT) AS list_id
+  FROM embeddings),
+filtered AS (
+  SELECT vec_id, list_id, list_transform(embedding, x -> x::DOUBLE) AS e
+  FROM lists WHERE list_id IN ({probe_lits}) AND vec_id != 0),
+cent AS (SELECT l, cv FROM '{cent_path}'),
+res AS (
+  SELECT vec_id, list_id,
+         list_transform(list_zip(e, cv), p -> p[1] - p[2]) AS r
+  FROM filtered JOIN cent ON list_id = l),
+book AS (SELECT j, c, v FROM '{book_path}'),
+dt AS (SELECT l, j, c, dv FROM '{dt_path}'),
+sub AS (
+  SELECT vec_id, list_id, b.j, b.c,
+         list_aggregate(
+           list_transform(list_zip(r[b.j * {dsub} + 1 : (b.j + 1) * {dsub}], b.v),
+                          p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') AS d2
+  FROM res CROSS JOIN book b),
+codes AS (
+  SELECT vec_id, list_id, j, c FROM (
+    SELECT vec_id, list_id, j, c,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn
+    FROM sub) WHERE rn = 1),
+adc AS (
+  SELECT vec_id,
+         {" + ".join(f"MAX(CASE WHEN dt.j = {j} THEN dv END)" for j in range(m))} AS adc
+  FROM codes JOIN dt ON dt.l = codes.list_id AND dt.j = codes.j AND dt.c = codes.c
+  GROUP BY vec_id),
+pool AS (SELECT vec_id FROM adc ORDER BY adc, vec_id LIMIT {IVFPQ_POOL}),
+emb AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+        FROM embeddings),
+qv AS (SELECT q FROM '{q_path}'),
+scored AS (
+  SELECT p.vec_id,
+         list_aggregate(list_transform(list_zip(e, q),
+                                       t -> (t[1] - t[2]) * (t[1] - t[2])),
+                        'sum') AS l2
+  FROM pool p JOIN emb USING (vec_id) CROSS JOIN qv)
+SELECT vec_id, l2 FROM scored ORDER BY l2, vec_id LIMIT {IVFPQ_RERANK_K}
+"""
+
+
 def q_geo_tile_pyramid(spark, sf_dir):
     """Hierarchical rollup UP the mercator tile pyramid (the tile-side
     analog of geo_multires_rollup): aggregate once at z=12, then
@@ -2971,13 +3196,16 @@ ORDER BY video_id, frame_idx
 
 def queries() -> dict:
     # Registry order is the DRIVER'S SAMPLE ORDER: the correctness gate
-    # caps at 50 of the 60 entries, taken from the front. Queries whose
+    # caps its sample at 50 entries (registry: 61 as of r5), taken from
+    # the front. Queries whose
     # implementation changed most recently are listed FIRST so a
     # changed implementation always lands in the driver's sample window
     # (VERDICT r4 #2: simhash's width-16→64 change shipped two rounds
     # before the driver re-sampled it). The 10 entries at the tail are
     # long-stable and driver-green as of r04.
     return {
+        # -- new in r5 (never driver-sampled): first in the window
+        "ann_ivf_pq": q_ann_ivf_pq,
         # -- rotated to the front for r5: last driver row predates an
         #    implementation change (simhash width 64, minhash
         #    materialization) or dates to r02/r03
@@ -3093,6 +3321,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "geo_lut_incremental": sql_geo_lut_incremental(),
         "geo_tile_pyramid": SQL_TILE_PYRAMID,
         "ann_pq": sql_ann_pq(sf_dir),
+        "ann_ivf_pq": sql_ann_ivf_pq(sf_dir),
         "ann_pq_rerank": sql_ann_pq_rerank(sf_dir),
         "events_window": SQL_EVENTS_WINDOW,
         "lang_id": sql_lang_id(),

@@ -217,3 +217,25 @@ def test_pq_adc_rerank_recall(spark):
     assert float(np.mean(recalls)) >= 0.7, recalls
     # determinism: retraining yields the identical codebook
     assert (pq_train(x, m, k) == books).all()
+
+
+def test_ivf_pq_recall_at_fixed_probe_budget(spark):
+    """r5 (VERDICT r4 #6): the IVF-PQ composition must hold recall@10
+    ≥ 0.7 vs exact L2 brute force at the registry's fixed probe budget
+    (IVF_PROBES of IVF_K lists — measured 1.0 at sf0.001 and 0.9 at
+    sf0.01). The pruning loses only what the coarse quantizer routes
+    to unprobed lists; PQ quantization error is absorbed by the exact
+    rerank of the 100-candidate pool."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from cosmospark.queries import queries
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/embeddings.parquet").to_pandas().sort_values("vec_id")
+    x = np.array([np.asarray(e, dtype=np.float64) for e in t["embedding"]])
+    q = x[0]
+    order = np.argsort(((x - q) ** 2).sum(axis=1))
+    true = set(t["vec_id"].to_numpy()[order][1:11].tolist())  # excl. the query itself
+    got = {int(r["vec_id"]) for r in queries()["ann_ivf_pq"](spark, sf).collect()}
+    assert len(true & got) / 10 >= 0.7
