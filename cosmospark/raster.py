@@ -641,6 +641,7 @@ def assign_zones_raster(
     exact: bool = False,
     strategy: str = "auto",
     broadcast_budget_bytes: int | None = None,
+    n_salt: int | None = None,
 ) -> DataFrame:
     """PIXEL-APPROXIMATE zone assignment with ZERO Python and ZERO
     shuffle on the fact path: the zone dim folds into a per-cell pixel
@@ -678,15 +679,36 @@ def assign_zones_raster(
     enc = points.withColumn("_cell", F.shiftright(fine, 6)).withColumn(
         "_pix", fine.bitwiseAND(F.lit(63)).cast("int")
     )
+    lut_keyed = lut.withColumnRenamed("cell", "_cell")
+    join_keys = ["_cell"]
+    if n_salt and n_salt > 1:
+        # LUT-side SALTING for the shuffle-join shape (VERDICT r4 #5):
+        # when the LUT is too big to broadcast (planet at fine res) the
+        # join shuffles BOTH sides on the cell key, and a megacity cell
+        # holding a large fraction of the facts lands in one partition.
+        # Replicating each LUT row across n_salt sub-keys (zone-dim
+        # scale — cheap) and hashing the fact id into a sub-key spreads
+        # any hot cell over n_salt partitions deterministically. AQE's
+        # skew-join split is the zero-config alternative (see
+        # test_raster.py::test_skewed_lut_shuffle_join_aqe_split); salt
+        # is the belt-and-braces form that also covers shuffled-hash
+        # joins and pre-AQE engines.
+        lut_keyed = lut_keyed.withColumn(
+            "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+        )
+        enc = enc.withColumn(
+            "_salt", F.pmod(F.hash(F.col(id_col)), F.lit(n_salt))
+        )
+        join_keys = ["_cell", "_salt"]
     out = (
-        enc.join(lut.withColumnRenamed("cell", "_cell"), "_cell", "left")
+        enc.join(lut_keyed, join_keys, "left")
         .withColumn(
             "zone_id",
             F.coalesce(F.expr("element_at(zone_arr, _pix + 1)"), F.lit(-1)).cast(
                 "long"
             ),
         )
-        .drop("_cell", "_pix", "zone_arr")
+        .drop("_cell", "_pix", "zone_arr", "_salt")
     )
     # invalid coordinates clamp into edge cells; exact mode must not let
     # a stable edge pixel answer for them

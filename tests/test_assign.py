@@ -343,3 +343,67 @@ class TestWriteAssignmentsManifest:
         assert manifest["partition_rows"] == expected
         assert manifest["n_rows"] == 5_000
         assert manifest["n_partitions"] == len(expected)
+
+
+@pytest.mark.slow
+def test_planet_soak_natural_auto_cutover_and_raster_lut(spark):
+    """VERDICT r4 #4 — the planet-shaped soak at the REAL broadcast
+    budget: 10⁴ zones × 2·10³ vertices (~320 MB of geometry, past the
+    default 256 MB BROADCAST_BUDGET_BYTES, no forced budget). Asserts:
+    (a) strategy='auto' cuts over to the partitioned cogroup path
+    NATURALLY (plan shows the cogroup, not a broadcast index);
+    (b) assignments match the by-construction truth (each point sits at
+    a zone's center; grid-corner points sit in the gap between the
+    disjoint zones and must miss);
+    (c) the raster LUT builds end-to-end on the same dim and agrees on
+    every point (centers are interior at res-6 pixel size; corners
+    provably outside even from the nearest pixel center).
+
+    index_max_cells=4 keeps the zone-cell explode at ~4 rings_bin
+    copies/zone (the default 64 would materialize ~20 GB on this dim —
+    a knob a planet deployment would also turn); correctness is
+    unaffected, coarser cells just do more PIP work per point."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from cosmospark.assign import (
+        BROADCAST_BUDGET_BYTES,
+        assign_zones,
+        estimate_zone_geom_bytes,
+    )
+    from cosmospark.fixtures import planet_zone_center, planet_zones_df
+    from cosmospark.raster import assign_zones_raster, zone_pixel_lut
+
+    n_zones, n_vertices = 10_000, 2_000
+    zones = planet_zones_df(spark, n_zones, n_vertices).localCheckpoint()
+    est = estimate_zone_geom_bytes(zones)
+    assert est > BROADCAST_BUDGET_BYTES, (
+        f"soak world must exceed the real budget ({est} <= {BROADCAST_BUDGET_BYTES})"
+    )
+
+    pts_rows, expected = [], {}
+    for i, zid in enumerate(range(0, n_zones, n_zones // 200)):
+        cx, cy = planet_zone_center(zid, n_zones)
+        pts_rows.append((i, cx, cy))
+        expected[i] = zid
+    for j in range(50):
+        zid = (j * 97) % n_zones
+        cx, cy = planet_zone_center(zid, n_zones)
+        pts_rows.append((10_000 + j, cx + 360.0 / 125 / 2.0, cy + 120.0 / 80 / 2.0))
+        expected[10_000 + j] = -1
+    pts = spark.createDataFrame(pts_rows, "pid long, lon double, lat double")
+
+    out = assign_zones(
+        pts, zones, strategy="auto", id_col="pid", index_max_cells=4
+    )
+    plan = out._jdf.queryExecution().toString()
+    assert "FlatMapCoGroupsInPandas" in plan, (
+        "auto must cut over to the partitioned cogroup path at this scale"
+    )
+    got = {r["pid"]: r["zone_id"] for r in out.collect()}
+    assert got == expected
+
+    lut = zone_pixel_lut(zones, res=6).localCheckpoint()
+    rast = assign_zones_raster(pts, None, res=6, lut=lut)
+    got_r = {r["pid"]: r["zone_id"] for r in rast.collect()}
+    assert got_r == expected
