@@ -268,9 +268,9 @@ def rasterize_zones_tiles(zones: DataFrame, z: int, px: int = 64) -> DataFrame:
                 if rrows is None or len(rrows) == 0:
                     continue
                 rr = geom.rows_to_rings(rrows)
-                fx, fy, bx, by = tile_raster_cover(rr, z)
-                for s in range(0, len(fx), step):
-                    keys = key_hi | (fx[s : s + step] << 29) | fy[s : s + step]
+                full_groups, bx, by = _tile_coarse_cover(rr, z)
+                for cx0, cy0 in _iter_full_tiles(full_groups, z, step):
+                    keys = key_hi | (cx0 << 29) | cy0
                     buf.extend(
                         {
                             "zone_id": int(zid),
@@ -752,15 +752,13 @@ def _tile_bounds(tx: np.ndarray, ty: np.ndarray, z: int):
     return minx, miny, maxx, maxy
 
 
-def tile_raster_cover(
+def _tile_coarse_cover(
     rr, z: int, stats: dict | None = None
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """→ (full_tx, full_ty, bnd_tx, bnd_ty) at zoom ``z`` — the mercator
-    analog of ``zone_raster_cover`` (same FULL/EMPTY/BOUNDARY descent,
-    tile children are the 2×2 subdivision). Like that eager wrapper this
-    materializes the FULL interior — O(interior tiles) peak memory,
-    bounded at the zooms used here (≤ 9); a finer-zoom deployment should
-    stream expansions as ``_iter_full_cells`` does for the quadkey grid."""
+) -> tuple[list[tuple[np.ndarray, np.ndarray, int]], np.ndarray, np.ndarray]:
+    """Mercator analog of ``_coarse_cover``: coarse→fine FULL/EMPTY/
+    BOUNDARY descent over z/x/y tiles → (full tiles grouped by the zoom
+    they were proven at, boundary tx, boundary ty). FULL interiors stay
+    UNEXPANDED — memory here is O(boundary frontier)."""
     minx, miny, maxx, maxy = geom.bbox(rr)
 
     def _tiles_at(zz):
@@ -781,8 +779,7 @@ def tile_raster_cover(
         indexing="ij",
     )
     cx, cy = gx.ravel(), gy.ravel()
-    full_x: list[np.ndarray] = []
-    full_y: list[np.ndarray] = []
+    full_groups: list[tuple[np.ndarray, np.ndarray, int]] = []
     bx = by = np.empty(0, dtype=np.int64)
     r = z0
     while len(cx):
@@ -791,22 +788,11 @@ def tile_raster_cover(
             stats["classify_calls"] = stats.get("classify_calls", 0) + 1
             stats["cells_classified"] = stats.get("cells_classified", 0) + len(cx)
         fx, fy = cx[cls == 1], cy[cls == 1]
+        if len(fx):
+            full_groups.append((fx, fy, r))
         if r == z:
-            if len(fx):
-                full_x.append(fx)
-                full_y.append(fy)
             bx, by = cx[cls == 2], cy[cls == 2]
             break
-        if len(fx):
-            k = z - r
-            side = np.arange(1 << k, dtype=np.int64)
-            # all (dx, dy) combinations of the 2^k × 2^k descendant block
-            ox = (fx[:, None] << k) + side[None, :]
-            oy = (fy[:, None] << k) + side[None, :]
-            gx2 = np.repeat(ox[:, :, None], 1 << k, axis=2)
-            gy2 = np.repeat(oy[:, None, :], 1 << k, axis=1)
-            full_x.append(gx2.ravel())
-            full_y.append(gy2.ravel())
         cx, cy = cx[cls == 2], cy[cls == 2]
         two = np.arange(2, dtype=np.int64)
         nx = ((cx[:, None] << 1) + two[None, :])[:, :, None]
@@ -814,8 +800,52 @@ def tile_raster_cover(
         cx = np.broadcast_to(nx, (len(cx), 2, 2)).ravel()
         cy = np.broadcast_to(ny, (len(cy), 2, 2)).ravel()
         r += 1
-    fxa = np.concatenate(full_x) if full_x else np.empty(0, dtype=np.int64)
-    fya = np.concatenate(full_y) if full_y else np.empty(0, dtype=np.int64)
+    return full_groups, bx, by
+
+
+def _iter_full_tiles(
+    full_groups: list[tuple[np.ndarray, np.ndarray, int]], z: int, step: int
+) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+    """Expand coarse FULL tiles to zoom-z (tx, ty) chunks of ≤ ~step
+    tiles — the mercator twin of ``_iter_full_cells`` (ADVICE r4: never
+    materialize a continent's interior)."""
+    for fx, fy, r in full_groups:
+        k = z - r
+        side = np.int64(1) << k
+        per = int(side) * int(side)
+        if per >= step:
+            for cx, cy in zip(fx, fy):
+                basex, basey = np.int64(cx) << k, np.int64(cy) << k
+                for s in range(0, per, step):
+                    idx = np.arange(s, min(per, s + step), dtype=np.int64)
+                    yield basex + idx // side, basey + idx % side
+        else:
+            g = max(1, step // per)
+            off = np.arange(int(side), dtype=np.int64)
+            for s in range(0, len(fx), g):
+                ox = (fx[s : s + g][:, None] << k) + off[None, :]
+                oy = (fy[s : s + g][:, None] << k) + off[None, :]
+                gx2 = np.repeat(ox[:, :, None], int(side), axis=2)
+                gy2 = np.repeat(oy[:, None, :], int(side), axis=1)
+                yield gx2.ravel(), gy2.ravel()
+
+
+def tile_raster_cover(
+    rr, z: int, stats: dict | None = None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """→ (full_tx, full_ty, bnd_tx, bnd_ty) at zoom ``z`` — the mercator
+    analog of ``zone_raster_cover`` (same FULL/EMPTY/BOUNDARY descent,
+    tile children are the 2×2 subdivision). Eager convenience wrapper:
+    peak memory O(interior tiles); the streaming consumers go through
+    ``_tile_coarse_cover`` + ``_iter_full_tiles`` and never hold the
+    full interior."""
+    full_groups, bx, by = _tile_coarse_cover(rr, z, stats)
+    xs, ys = [], []
+    for cx, cy in _iter_full_tiles(full_groups, z, 1 << 20):
+        xs.append(cx)
+        ys.append(cy)
+    fxa = np.concatenate(xs) if xs else np.empty(0, dtype=np.int64)
+    fya = np.concatenate(ys) if ys else np.empty(0, dtype=np.int64)
     return fxa, fya, bx, by
 
 
@@ -846,10 +876,9 @@ def _zone_tile_bitset_row_batches(
     pow2 = np.int64(1) << np.arange(64, dtype=np.int64)
     base = {"zone_id": int(zid), "rank": int(rk), "area": float(area)}
     key_hi = np.int64(z) << 58
-    fx, fy, bx, by = tile_raster_cover(rr, z, stats)
+    full_groups, bx, by = _tile_coarse_cover(rr, z, stats)
     step = max(1, max_pixels // (px * px))
-    for s in range(0, len(fx), step):
-        cx, cy = fx[s : s + step], fy[s : s + step]
+    for cx, cy in _iter_full_tiles(full_groups, z, step):
         keys = key_hi | (cx << 29) | cy
         yield [
             dict(base, cell=int(kk), mask_bits=-1, full_bits=-1, touch_bits=-1)

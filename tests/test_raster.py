@@ -752,3 +752,30 @@ def test_skewed_lut_shuffle_join_aqe_split(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_lazy_tile_expansion_matches_eager():
+    """Mercator twin of the quadkey lazy-expansion test: chunked
+    _iter_full_tiles must reproduce tile_raster_cover's full set exactly
+    with bounded chunk sizes and a coarse (unexpanded) descent state."""
+    import numpy as np
+
+    from cosmospark.raster import (
+        _iter_full_tiles,
+        _tile_coarse_cover,
+        tile_raster_cover,
+    )
+
+    rr = _star_rings()
+    z = 7
+    fx, fy, _, _ = tile_raster_cover(rr, z)
+    groups, _, _ = _tile_coarse_cover(rr, z)
+    step = 32
+    chunks = list(_iter_full_tiles(groups, z, step))
+    assert chunks, "star zone has an interior at z 7"
+    assert max(len(cx) for cx, _cy in chunks) <= 2 * step
+    lazy = {(int(a), int(b)) for cx, cy in chunks for a, b in zip(cx, cy)}
+    eager = {(int(a), int(b)) for a, b in zip(fx, fy)}
+    assert lazy == eager
+    stored = sum(len(g[0]) for g in groups)
+    assert stored < len(fx)
