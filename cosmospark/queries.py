@@ -2604,6 +2604,14 @@ def q_minhash_lsh_pairs(spark, sf_dir):
         .select("doc_id", "text")
         .filter(F.size(F.split("text", " ")) >= 3)
     )
+    # input-splittability guard: the 16-minhash computation sits
+    # DIRECTLY on the scan stage (no shuffle upstream), so a
+    # single-row-group input file caps it at 1-wide execution (the
+    # image_pipeline r4 row-group lesson; the sf0.1 fixture is one row
+    # group). One narrow text-only exchange buys full-width hashing;
+    # a real lake's many-file input already scans wide and AQE
+    # coalesces the extra partitions away.
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     sh = F.expr(
         "transform(sequence(0, size(split(text, ' ')) - 3), "
         "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"
@@ -2623,17 +2631,28 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     ]
     sig = shingled.select("doc_id", "shingles", *mh_cols)
     rows_per_band = n_hash // n_bands
-    bands = []
-    for b in range(n_bands):
-        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        bands.append(
-            sig.select(
-                "doc_id", F.lit(b).alias("band"), F.xxhash64(*cols).alias("bucket")
+    # ONE pass over the signatures: every band's (band, bucket) pair is
+    # computed in the same projection and exploded to rows. The r4 shape
+    # union'd 4 per-band selects, so materializing `banded` re-ran the
+    # full 16-minhash computation once PER BAND (64 shingle-hash passes
+    # instead of 16 — measured ~2× on the suite query).
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[
+                        F.col(f"mh{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ]
+                ).alias("bucket"),
             )
-        )
-    from functools import reduce
-
-    banded = reduce(lambda a, c: a.unionByName(c), bands)
+            for b in range(n_bands)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(band_structs).alias("e")).select(
+        "doc_id", F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket")
+    )
     _cache_generation("minhash_lsh", shingled, banded)
     cand = (
         banded.alias("a")
@@ -2834,6 +2853,10 @@ def q_simhash_pairs(spark, sf_dir):
     must agree on ≥ 1 band) — equi-join on (source, band, bits), exact
     bit_count(xor) verification. No cartesian; exact recall."""
     d = _t(spark, sf_dir, "documents")
+    # input-splittability guard (see q_minhash_lsh_pairs): the 64-lane
+    # fold runs on the scan stage; a single-row-group file would cap it
+    # 1-wide
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     # materialize fingerprints ONCE: without this the 64-lane fold
     # expression inlines into the band generator and both self-join
     # sides — ~8 full fold evaluations per doc (measured 5.3 s → 1.5 s
