@@ -1543,6 +1543,110 @@ ORDER BY a.cell, a.pix
 """
 
 
+def q_geo_tile_lut_incremental(spark, sf_dir):
+    """Incremental maintenance of the TILE-pyramid LUT (r5 — the
+    mercator twin of q_geo_lut_incremental): same zone-dim edit (shift
+    the smallest zone east 0.3°, remove the second smallest), patched
+    via incremental_lut_update(grid='tiles')/apply_lut_patch — re-folds
+    ONLY the edited zones' old∪new tile footprint. Emits the patched
+    LUT exploded to (cell, pix, zone_id); the oracle re-derives the
+    entire post-edit tile LUT from the mercator pixel lattice."""
+    from cosmospark.raster import (
+        apply_lut_patch,
+        incremental_lut_update,
+        rasterize_zone_bitsets_tiles,
+        tile_pixel_lut,
+    )
+
+    mod_id, rm_id = _lut_edit_ids()
+    zones = _lux_typed_zones(spark)
+    bitsets0 = rasterize_zone_bitsets_tiles(zones, _TILE_RAST_Z)
+    lut0 = tile_pixel_lut(zones, _TILE_RAST_Z)
+    shifted = zones.filter(F.col("id") == mod_id).withColumn(
+        "rings",
+        F.expr(
+            "transform(rings, r -> named_struct("
+            "'poly', r.poly, 'ring', r.ring,"
+            f"'xs', transform(r.xs, x -> x + {_LUT_EDIT_SHIFT!r}), 'ys', r.ys))"
+        ),
+    )
+    _, affected, patch = incremental_lut_update(
+        bitsets0, shifted, [rm_id], _TILE_RAST_Z, grid="tiles"
+    )
+    lut = apply_lut_patch(lut0, affected, patch)
+    return (
+        lut.select("cell", F.posexplode("zone_arr").alias("pix", "zone_id"))
+        .select("cell", F.col("pix").cast("long"), F.col("zone_id").cast("long"))
+        .orderBy("cell", "pix")
+    )
+
+
+def sql_geo_tile_lut_incremental():
+    """Post-edit TILE LUT from first principles: the mercator pixel
+    lattice of the edited zone set, argmin per pixel, 64-slot fill per
+    covered tile. Pixel index is ROW-MAJOR (j&7)*8 + (i&7); the tile
+    key packs (z << 58) | (tx << 29) | ty (cells.tile_encode layout).
+    Mercator determinism caveats as in sql_geo_raster_tile_assign."""
+    mod_id, rm_id = _lut_edit_ids()
+    z = _TILE_RAST_Z
+    n3 = (1 << z) * 8
+    n3f = float(n3)
+    merc = (
+        "(1.0 - ln(tan(radians({lat})) + 1.0 / cos(radians({lat}))) / pi()) / 2.0"
+    )
+    vals = []
+    for _, r in _lux_typed_rows():
+        if r["id"] == rm_id:
+            continue
+        b = r["bbox"]
+        minx, maxx = b["minx"], b["maxx"]
+        if r["id"] == mod_id:
+            minx, maxx = minx + _LUT_EDIT_SHIFT, maxx + _LUT_EDIT_SHIFT
+        area = (maxx - minx) * (b["maxy"] - b["miny"])
+        vals.append(
+            f"({r['id']}, CAST({minx!r} AS DOUBLE), CAST({b['miny']!r} AS DOUBLE), "
+            f"CAST({maxx!r} AS DOUBLE), CAST({b['maxy']!r} AS DOUBLE), "
+            f"{TYPE_RANK[r['zone_type']]}, CAST({area!r} AS DOUBLE))"
+        )
+    zones_sql = (
+        "(VALUES " + ", ".join(vals) + ") AS z(id, minx, miny, maxx, maxy, rank, area)"
+    )
+    key = f"(CAST({z} AS BIGINT) << 58) | (CAST(i >> 3 AS BIGINT) << 29) | CAST(j >> 3 AS BIGINT)"
+    return f"""
+WITH zones AS (SELECT * FROM {zones_sql}),
+ij AS (
+  SELECT z.id AS zone_id, z.rank, z.area, gi.i, gj.j, z.minx, z.maxx, z.miny, z.maxy
+  FROM zones z,
+  LATERAL (SELECT unnest(generate_series(
+      CAST(floor((z.minx + 180.0) / 360.0 * {n3}) AS BIGINT) - 1,
+      CAST(ceil((z.maxx + 180.0) / 360.0 * {n3}) AS BIGINT) + 1)) AS i) gi,
+  LATERAL (SELECT unnest(generate_series(
+      CAST(floor({merc.format(lat="z.maxy")} * {n3}) AS BIGINT) - 1,
+      CAST(ceil({merc.format(lat="z.miny")} * {n3}) AS BIGINT) + 1)) AS j) gj
+),
+hit AS (
+  SELECT zone_id, rank, area, i, j FROM ij
+  WHERE (-180.0 + (i + 0.5) * 360.0 / {n3f!r}) BETWEEN minx AND maxx
+    AND degrees(atan((exp(pi() * (1.0 - 2.0 * ((j + 0.5) / {n3f!r})))
+                      - exp(-(pi() * (1.0 - 2.0 * ((j + 0.5) / {n3f!r}))))) / 2.0))
+        BETWEEN miny AND maxy
+),
+win AS (
+  SELECT i, j, zone_id FROM (
+    SELECT i, j, zone_id,
+           row_number() OVER (PARTITION BY i, j ORDER BY rank, area, zone_id) AS rn
+    FROM hit) WHERE rn = 1
+),
+winkey AS (SELECT {key} AS cell, (j & 7) * 8 + (i & 7) AS pix, zone_id FROM win),
+cellset AS (SELECT DISTINCT cell FROM winkey),
+allpix AS (SELECT c.cell, p.range AS pix FROM cellset c CROSS JOIN range(64) p)
+SELECT a.cell AS cell, a.pix AS pix,
+       CAST(COALESCE(w.zone_id, -1) AS BIGINT) AS zone_id
+FROM allpix a LEFT JOIN winkey w ON w.cell = a.cell AND w.pix = a.pix
+ORDER BY a.cell, a.pix
+"""
+
+
 def sql_geo_rasterize():
     nf = (1 << _RAST_RES) * _RAST_PX
     k = _RAST_PX.bit_length() - 1  # px = 2^k
@@ -3219,7 +3323,7 @@ ORDER BY video_id, frame_idx
 
 def queries() -> dict:
     # Registry order is the DRIVER'S SAMPLE ORDER: the correctness gate
-    # caps its sample at 50 entries (registry: 61 as of r5), taken from
+    # caps its sample at 50 entries (registry: 62 as of r5), taken from
     # the front. Queries whose
     # implementation changed most recently are listed FIRST so a
     # changed implementation always lands in the driver's sample window
@@ -3229,6 +3333,7 @@ def queries() -> dict:
     return {
         # -- new in r5 (never driver-sampled): first in the window
         "ann_ivf_pq": q_ann_ivf_pq,
+        "geo_tile_lut_incremental": q_geo_tile_lut_incremental,
         # -- rotated to the front for r5: last driver row predates an
         #    implementation change (simhash width 64, minhash
         #    materialization) or dates to r02/r03
@@ -3342,6 +3447,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "geo_raster_tile_assign_exact": _pip_oracle_core()
         + "SELECT pid, zone_id FROM assigned ORDER BY pid",
         "geo_lut_incremental": sql_geo_lut_incremental(),
+        "geo_tile_lut_incremental": sql_geo_tile_lut_incremental(),
         "geo_tile_pyramid": SQL_TILE_PYRAMID,
         "ann_pq": sql_ann_pq(sf_dir),
         "ann_ivf_pq": sql_ann_ivf_pq(sf_dir),

@@ -1068,12 +1068,17 @@ def incremental_lut_update(
     removed_zone_ids: list[int],
     res: int,
     exact: bool = False,
+    grid: str = "cells",
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Apply a zone-dim edit to a persisted bitset table.
 
     ``changed_zones``: zones added or modified (full new rows, reference
     zone schema); ``removed_zone_ids``: ids to drop (a modified zone's
     id may appear in both — its old rows are replaced either way).
+    ``grid``: ``"cells"`` (quadkey, ``res`` is the cell resolution) or
+    ``"tiles"`` (mercator pyramid, ``res`` is the zoom) — the edit
+    algebra is grid-agnostic because both LUTs key on one packed
+    64-bit ``cell`` column.
 
     Returns ``(new_bitsets, affected_cells, lut_patch)``:
       * ``new_bitsets``  — the updated maintenance table;
@@ -1083,10 +1088,13 @@ def incremental_lut_update(
         (a cell whose coverage vanished is absent: delete it).
     Apply with ``apply_lut_patch``. Every step is a key join on
     cell/zone_id — bucketed storage keeps them co-located."""
+    if grid not in ("cells", "tiles"):
+        raise ValueError(f"unknown grid {grid!r} (expected 'cells' or 'tiles')")
+    raster_fn = (
+        rasterize_zone_bitsets if grid == "cells" else rasterize_zone_bitsets_tiles
+    )
     changed_new = (
-        rasterize_zone_bitsets(changed_zones, res)
-        if changed_zones is not None
-        else None
+        raster_fn(changed_zones, res) if changed_zones is not None else None
     )
     touched_ids = list(removed_zone_ids)
     if changed_zones is not None:
@@ -1105,7 +1113,7 @@ def incremental_lut_update(
     lut_patch = _fold_pixel_lut(
         new_bitsets.join(affected_cells, "cell", "left_semi"),
         exact,
-        {"lut_res": res},
+        {"lut_res": res} if grid == "cells" else {"lut_z": res},
     )
     return new_bitsets, affected_cells, lut_patch
 

@@ -779,3 +779,57 @@ def test_lazy_tile_expansion_matches_eager():
     assert lazy == eager
     stored = sum(len(g[0]) for g in groups)
     assert stored < len(fx)
+
+
+def test_incremental_tile_lut_update_equals_full_rebuild(spark):
+    """Mercator twin of the cell-LUT incremental test (r5): the same
+    zone-dim edit through incremental_lut_update(grid='tiles') must
+    produce exactly the tile LUT a from-scratch rebuild produces, with
+    an edit-local refold."""
+    import pyspark.sql.functions as F
+
+    from cosmospark import geom
+    from cosmospark.queries import _lux_typed_zones
+    from cosmospark.raster import (
+        apply_lut_patch,
+        incremental_lut_update,
+        rasterize_zone_bitsets_tiles,
+        tile_pixel_lut,
+    )
+
+    z = 7
+    zones = _lux_typed_zones(spark)
+    small = sorted(
+        (
+            (geom.area(geom.rows_to_rings(r["rings"])), r["id"])
+            for r in zones.select("id", "rings").collect()
+            if r["rings"]
+        )
+    )[:2]
+    mod_id, rm_id = small[0][1], small[1][1]
+
+    bitsets0 = rasterize_zone_bitsets_tiles(zones, z).localCheckpoint()
+    lut0 = tile_pixel_lut(zones, z).localCheckpoint()
+    shifted = zones.filter(F.col("id") == mod_id).withColumn(
+        "rings",
+        F.expr(
+            "transform(rings, r -> named_struct("
+            "'poly', r.poly, 'ring', r.ring,"
+            "'xs', transform(r.xs, x -> x + 0.3), 'ys', r.ys))"
+        ),
+    )
+    zones_after = zones.filter(~F.col("id").isin([mod_id, rm_id])).unionByName(
+        shifted
+    )
+
+    new_bitsets, affected, patch = incremental_lut_update(
+        bitsets0, shifted, [rm_id], z, grid="tiles"
+    )
+    lut_inc = apply_lut_patch(lut0, affected, patch)
+    lut_full = tile_pixel_lut(zones_after, z)
+
+    def lut_set(df):
+        return {(r["cell"], tuple(r["zone_arr"])) for r in df.collect()}
+
+    assert lut_set(lut_inc) == lut_set(lut_full)
+    assert affected.count() < lut0.count() / 2
