@@ -209,6 +209,7 @@ def main() -> None:
         "ann_brute_force",
         "ann_ivf",
         "ann_pq_rerank",
+        "ann_ivf_pq",
         "minhash_lsh_pairs",
         "simhash_pairs",
         "phash_neardup",

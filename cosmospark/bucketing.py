@@ -56,3 +56,36 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     ``spark.read.parquet`` of the same files would lose the spec and
     reintroduce the shuffle)."""
     return spark.table(table)
+
+
+def write_splittable(
+    df: DataFrame,
+    path: str,
+    rows_per_group: int = 65_536,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet sized for SCAN PARALLELISM: both the per-file row
+    cap and the parquet row-group size are bounded at ``rows_per_group``
+    rows, so a later scan can split the data at that granularity.
+
+    This is the write-side fix for a lesson this engine hit twice
+    (imagejob r4: a one-row-group file ran a 200k-row pipeline 4-wide on
+    32 cores; minhash/simhash r5: hash work directly on a
+    single-row-group scan stage capped 1-wide): parquet splits at
+    ROW-GROUP granularity, so the writer — not the reader — decides the
+    maximum parallelism of every downstream scan-stage computation.
+    Readers can work around a bad layout with a repartition exchange;
+    writing it right costs nothing.
+
+    ``parquet.block.size`` bounds row groups by BYTES; Spark's
+    ``maxRecordsPerFile`` bounds files by ROWS. Using both keeps groups
+    small for wide rows (bytes bound) and files small for narrow rows
+    (row bound)."""
+    (
+        df.write.mode(mode)
+        .option("maxRecordsPerFile", rows_per_group)
+        # 8 MB row groups: small enough that even wide rows split well,
+        # large enough that footer/dictionary overhead stays negligible
+        .option("parquet.block.size", 8 * 1024 * 1024)
+        .parquet(path)
+    )

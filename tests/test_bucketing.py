@@ -64,3 +64,30 @@ def test_bucketed_aggregation_no_exchange(spark, bucketed_pair):
     agg = docs.groupBy("doc_id").agg(F.count("*").alias("n"))
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_write_splittable_scan_parallelism(spark, tmp_path):
+    """write_splittable must produce a layout whose scan can run wider
+    than one task: many row groups / files, and a Spark scan of it
+    plans more than one partition (the r4/r5 row-group lesson)."""
+    import pyarrow.parquet as pq
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cosmospark.bucketing import write_splittable
+
+    df = spark.range(50_000).select(
+        F.col("id"), F.repeat(F.lit("x"), 200).alias("pad")
+    )
+    out = str(tmp_path / "split")
+    write_splittable(df.coalesce(1), out, rows_per_group=5_000)
+    groups = 0
+    for name in os.listdir(out):
+        if name.endswith(".parquet"):
+            groups += pq.ParquetFile(os.path.join(out, name)).metadata.num_row_groups
+    assert groups >= 8, f"only {groups} row groups"
+    # a fresh scan can execute wider than one task
+    back = spark.read.parquet(out)
+    nparts = back.rdd.getNumPartitions()
+    assert nparts > 1, f"scan planned {nparts} partition(s)"

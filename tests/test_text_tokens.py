@@ -60,3 +60,21 @@ def test_bpe_pretokenizer_branches(spark):
         ora,
         check_dtype=False,
     )
+
+
+def test_release_cached_generations(spark):
+    """The explicit teardown for the generation cache (ADVICE r4): the
+    final live generation is unpersisted and the registry emptied; a
+    re-invocation after release rebuilds cleanly."""
+    from cosmospark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    Q.queries()["ngram_jaccard"](spark, sf).count()
+    assert "ngram_jaccard" in Q._CACHE_GENERATIONS
+    Q.release_cached_generations("ngram_jaccard")
+    assert "ngram_jaccard" not in Q._CACHE_GENERATIONS
+    # full release is a no-op on unknown/empty keys
+    Q.release_cached_generations()
+    assert Q._CACHE_GENERATIONS == {}
+    # rebuild after release still works
+    assert Q.queries()["ngram_jaccard"](spark, sf).count() >= 0
