@@ -288,6 +288,7 @@ def assign_zones(
     id_col: str | None = None,
     broadcast_budget_bytes: int = BROADCAST_BUDGET_BYTES,
     raster_res: int = 9,
+    n_salt: int | None = None,
 ) -> DataFrame:
     """points + zone_id (long, -1 if unassigned and no kNN fallback).
 
@@ -329,6 +330,7 @@ def assign_zones(
         return assign_zones_partitioned(
             points, zones, lon_col, lat_col,
             knn_fallback=knn_fallback, index_max_cells=index_max_cells, id_col=id_col,
+            n_salt=n_salt,
         )
 
     spark = points.sparkSession
@@ -428,6 +430,8 @@ def assign_zones_partitioned(
     knn_fallback: bool = False,
     index_max_cells: int | None = None,
     id_col: str = "pid",
+    n_salt: int | None = None,
+    hot_key_fraction: float = 0.05,
 ) -> DataFrame:
     """The no-broadcast zone assignment: shuffle-join points and zone
     geometry on (res, cell), refine with the same numpy PIP kernel inside
@@ -436,9 +440,19 @@ def assign_zones_partitioned(
     Semantics identical to the broadcast path (same kernels, same
     tie-break); cost profile differs: one shuffle of the fact side per
     index resolution + one shuffle for the argmin — the price of not
-    shipping tens-of-GB geometry to every executor. Hot cells (megacity
-    skew) are AQE's problem here, which is exactly where we want it.
-    """
+    shipping tens-of-GB geometry to every executor.
+
+    **Megacity skew (r5):** the JVM joins here are AQE's problem (skew
+    splitting works on SortMergeJoin), but the Python cogroup is NOT —
+    AQE cannot split an ``applyInPandas`` group, so one megacity cell
+    holding 30% of the facts becomes one straggler task. ``n_salt``
+    turns on adaptive hot-key salting: a cheap sampled count finds
+    keys carrying ≥ ``hot_key_fraction`` of the refine rows, ONLY those
+    keys' points spread across ``n_salt`` sub-keys (zone rows replicate
+    ×``n_salt`` for hot keys only — zone-dim × few-hot-cells scale),
+    and the cogroup keys on (res, cell, salt). Cold keys keep salt 0,
+    so the common case pays nothing (the same sampled-first-pass
+    pattern as ``adaptive_salted_agg``, applied to the cogroup)."""
     spark = points.sparkSession
     if index_max_cells is None:
         # zone cells are SHUFFLED here, not broadcast — the explode
@@ -543,9 +557,62 @@ def assign_zones_partitioned(
     pref = pcells.join(
         _maybe_bc(zref.select("res", "cell").distinct()), ["res", "cell"], "leftsemi"
     )
+    group_keys = ["res", "cell"]
+    if n_salt and n_salt > 1:
+        # adaptive hot-key detection: ONE sampled aggregate over the
+        # refine rows (deterministic seed), keys above hot_key_fraction
+        # collect driver-side (≤ 1/hot_key_fraction of them by
+        # construction — a handful of scalars, never geometry)
+        sampled = (
+            pref.sample(fraction=0.02, seed=42)
+            .groupBy("res", "cell")
+            .agg(F.count("*").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+        tot = sampled.agg(F.sum("c")).collect()[0][0] or 0
+        hot_rows = (
+            [
+                (int(r["res"]), int(r["cell"]))
+                for r in sampled.filter(
+                    F.col("c") >= hot_key_fraction * tot
+                ).collect()
+            ]
+            if tot
+            else []
+        )
+        if hot_rows:
+            hot_df = F.broadcast(
+                spark.createDataFrame(
+                    hot_rows, "res int, cell long"
+                ).withColumn("_hot", F.lit(True))
+            )
+            salt_lits = F.array(*[F.lit(i) for i in range(n_salt)])
+            pref = (
+                pref.join(hot_df, ["res", "cell"], "left")
+                .withColumn(
+                    "_salt",
+                    F.when(
+                        F.col("_hot"), F.pmod(F.hash(id_col), F.lit(n_salt))
+                    ).otherwise(F.lit(0)),
+                )
+                .drop("_hot")
+            )
+            zref = (
+                zref.join(hot_df, ["res", "cell"], "left")
+                .withColumn(
+                    "_salt",
+                    F.explode(
+                        F.when(F.col("_hot"), salt_lits).otherwise(
+                            F.array(F.lit(0))
+                        )
+                    ),
+                )
+                .drop("_hot")
+            )
+            group_keys = ["res", "cell", "_salt"]
     cand = (
-        pref.groupBy("res", "cell")
-        .cogroup(zref.groupBy("res", "cell"))
+        pref.groupBy(*group_keys)
+        .cogroup(zref.groupBy(*group_keys))
         .applyInPandas(_pip_group, cand_schema)
         .unionByName(full_hits)
     )

@@ -407,3 +407,40 @@ def test_planet_soak_natural_auto_cutover_and_raster_lut(spark):
     rast = assign_zones_raster(pts, None, res=6, lut=lut)
     got_r = {r["pid"]: r["zone_id"] for r in rast.collect()}
     assert got_r == expected
+
+
+def test_partitioned_cogroup_hot_key_salting(spark):
+    """r5: AQE cannot split an applyInPandas cogroup group, so a
+    megacity cell is a straggler on the partitioned path. With n_salt,
+    adaptive hot-key detection (sampled count) salts ONLY the hot
+    cells' points, replicates only those cells' zone rows, and the
+    cogroup keys on (res, cell, _salt) — results identical."""
+    from pyspark.sql import functions as F
+
+    from cosmospark.assign import assign_zones
+    from cosmospark.fixtures import lux_world
+    from cosmospark.ztypes import ZONES_RAW_SCHEMA
+
+    zones = spark.createDataFrame(lux_world(), schema=ZONES_RAW_SCHEMA)
+    # ~40% of points inside one commune-sized spot → one hot cell
+    mega = (
+        "case when id % 10 < 4 then"
+        " named_struct('lon', cast(6.13 + (id % 97) / 100000.0 as double),"
+        "              'lat', cast(49.61 + (id % 89) / 100000.0 as double))"
+        " else named_struct('lon', cast(2.0 + (id * 7919 % 1300) / 100.0 as double),"
+        "                   'lat', cast(44.0 + (id * 104729 % 1000) / 100.0 as double)) end"
+    )
+    pts = (
+        spark.range(40_000)
+        .select(F.col("id").alias("pid"), F.expr(mega).alias("p"))
+        .select("pid", F.col("p.lon").alias("lon"), F.col("p.lat").alias("lat"))
+    )
+    base = assign_zones(pts, zones, strategy="partitioned", id_col="pid")
+    salted = assign_zones(
+        pts, zones, strategy="partitioned", id_col="pid", n_salt=8
+    )
+    plan = salted._jdf.queryExecution().toString()
+    assert "_salt" in plan, "hot-key salting must reach the cogroup keys"
+    a = {(r["pid"], r["zone_id"]) for r in base.collect()}
+    b = {(r["pid"], r["zone_id"]) for r in salted.collect()}
+    assert a == b
