@@ -204,6 +204,7 @@ def main() -> None:
         "geo_multires_rollup",
         "geo_parent_hierarchy",
         "dedup_exact",
+        "substring_dedup",
         "ngram_jaccard",
         "doc_fingerprint",
         "ann_brute_force",

@@ -1898,6 +1898,216 @@ FROM documents GROUP BY text ORDER BY keeper
 """
 
 
+# exact-substring dedup: window width in whitespace tokens (Lee et al.
+# 2022 use 50 BPE tokens on real corpora; 8 fits the synthetic docs'
+# 10-99-token length distribution while exercising identical logic)
+SUBSTR_K = 8
+
+
+def q_substring_dedup(spark, sf_dir):
+    """Exact-SUBSTRING dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): the doc-level dedup family
+    (dedup_exact / minhash / simhash) misses the classic failure mode of
+    boilerplate spans pasted into otherwise-distinct documents. Find
+    every k-token window whose text recurs in >=2 DISTINCT documents,
+    merge each document's duplicated windows into maximal token spans
+    (gaps-and-islands), and report per doc: duplicated-window count,
+    merged covered-token count, total tokens. Integer outputs only —
+    ratios are the caller's division (oracle-parity rule: counts hash
+    exactly, rounded rationals can straddle a half-ulp).
+
+    100 TB shape (same principle as q_dedup_exact's fixed-width key):
+      pass 1 — the corpus-wide shuffle carries ONLY
+        (xxhash64(window_text), doc_id) 16-byte rows, never window
+        text; two-phase distinct-count finds hashes spanning >=2 docs.
+      pass 2 — window TEXT re-materializes only for documents holding a
+        candidate hash (the duplicated fraction of the corpus), where
+        cross-doc duplication is re-verified on the text itself, so a
+        hash collision cannot fabricate a duplicate.
+      span merge — two window functions partitioned by doc_id over
+        candidate rows only (shuffle is O(duplicated windows)).
+    """
+    from pyspark.sql.window import Window
+
+    k = SUBSTR_K
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= k)  # sequence(0, negative) guard
+    )
+    wins = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(t) - {k}),"
+                f" i -> xxhash64(array_join(slice(t, i + 1, {k}), ' ')))"
+            )
+        ).alias("pos", "h"),
+    )
+    cand = (
+        wins.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    hits = wins.join(cand, "h", "left_semi")
+    # pass 2: re-derive window text for candidate rows only; re-verify
+    # cross-doc duplication on the text so collisions cannot lie. The
+    # hash stays FIRST in every grouping/join key so no exchange keys
+    # on raw text (same audited shape as q_dedup_exact's pass 2).
+    hw = hits.join(d, "doc_id").select(
+        "doc_id",
+        "pos",
+        "h",
+        F.expr(f"array_join(slice(t, pos + 1, {k}), ' ')").alias("w"),
+    )
+    ver = (
+        hw.groupBy("h", "w")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h", "w")
+    )
+    rows = hw.join(ver, ["h", "w"], "left_semi")
+    # gaps-and-islands: windows [pos, pos+k) merge while the next start
+    # is <= the running max end (adjacency pos == end is contiguous
+    # token coverage, so it merges too)
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = rows.withColumn(
+        "ni",
+        (
+            F.col("pos")
+            > F.coalesce(F.max(F.col("pos") + k).over(w_prev), F.lit(-1))
+        ).cast("int"),
+    ).withColumn("island", F.sum("ni").over(w_run))
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.count("*").alias("nw"),
+        (F.max("pos") + k - F.min("pos")).alias("span_len"),
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum("nw").cast("bigint").alias("dup_windows"),
+        F.sum("span_len").cast("bigint").alias("covered_tokens"),
+    )
+    return (
+        per_doc.join(d.select("doc_id", F.size("t").alias("nt")), "doc_id")
+        .select(
+            "doc_id",
+            F.col("nt").cast("bigint").alias("n_tokens"),
+            "dup_windows",
+            "covered_tokens",
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_SUBSTRING_DEDUP = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= {SUBSTR_K}
+),
+wins AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i + 1 : i + {SUBSTR_K}], ' ') AS w
+  FROM toks, UNNEST(generate_series(0, len(t) - {SUBSTR_K})) AS g(i)
+),
+dup AS (
+  SELECT w FROM wins GROUP BY w HAVING count(DISTINCT doc_id) >= 2
+),
+rows_ AS (
+  SELECT doc_id, pos FROM wins WHERE w IN (SELECT w FROM dup)
+),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > COALESCE(max(pos + {SUBSTR_K}) OVER (
+                  PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS ni
+  FROM rows_
+),
+isl2 AS (
+  SELECT doc_id, pos, sum(ni) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, island, count(*) AS nw,
+         max(pos) + {SUBSTR_K} - min(pos) AS span_len
+  FROM isl2 GROUP BY doc_id, island
+),
+per_doc AS (
+  SELECT doc_id, CAST(sum(nw) AS BIGINT) AS dup_windows,
+         CAST(sum(span_len) AS BIGINT) AS covered_tokens
+  FROM spans GROUP BY doc_id
+)
+SELECT p.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+       p.dup_windows, p.covered_tokens
+FROM per_doc p JOIN toks t USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+# training-sample chunking: window / stride in whitespace tokens
+CHUNK_C = 32
+CHUNK_S = 24
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Training-sample creation: split each document into overlapping
+    fixed-size token chunks (window CHUNK_C, stride CHUNK_S — the
+    standard pretraining packing shape). Pure narrow transform: split +
+    sequence + slice + posexplode, all JVM built-ins, ZERO shuffle
+    before the (cosmetic, test-only) orderBy — at 100 TB this is a
+    map-only pass whose output partitioning inherits the scan."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= 1)
+    )
+    ch = d.select(
+        "doc_id",
+        F.size("t").alias("n"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(t) - 1, {CHUNK_S}),"
+                f" s -> array_join(slice(t, s + 1, {CHUNK_C}), ' '))"
+            )
+        ).alias("chunk_id", "chunk_text"),
+    )
+    return ch.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        (F.col("chunk_id") * CHUNK_S).cast("bigint").alias("start_tok"),
+        F.least(F.lit(CHUNK_C), F.col("n") - F.col("chunk_id") * CHUNK_S)
+        .cast("bigint")
+        .alias("n_chunk_tokens"),
+        "chunk_text",
+    ).orderBy("doc_id", "chunk_id")
+
+
+SQL_DOC_CHUNKS = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t
+  FROM documents WHERE len(string_split(text, ' ')) >= 1
+)
+SELECT doc_id,
+       CAST(s // {CHUNK_S} AS BIGINT) AS chunk_id,
+       CAST(s AS BIGINT) AS start_tok,
+       CAST(least({CHUNK_C}, len(t) - s) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(t[s + 1 : s + {CHUNK_C}], ' ') AS chunk_text
+FROM toks, UNNEST(generate_series(0, len(t) - 1, {CHUNK_S})) AS g(s)
+ORDER BY doc_id, chunk_id
+"""
+
+
 def q_token_count(spark, sf_dir):
     """Token counting: whitespace tokens + alpha-word tokens."""
     d = _t(spark, sf_dir, "documents")
@@ -3323,7 +3533,7 @@ ORDER BY video_id, frame_idx
 
 def queries() -> dict:
     # Registry order is the DRIVER'S SAMPLE ORDER: the correctness gate
-    # caps its sample at 50 entries (registry: 62 as of r5), taken from
+    # caps its sample at 50 entries (registry: 64 as of r5), taken from
     # the front. Queries whose
     # implementation changed most recently are listed FIRST so a
     # changed implementation always lands in the driver's sample window
@@ -3332,6 +3542,8 @@ def queries() -> dict:
     # long-stable and driver-green as of r04.
     return {
         # -- new in r5 (never driver-sampled): first in the window
+        "substring_dedup": q_substring_dedup,
+        "doc_chunks": q_doc_chunks,
         "ann_ivf_pq": q_ann_ivf_pq,
         "geo_tile_lut_incremental": q_geo_tile_lut_incremental,
         # -- rotated to the front for r5: last driver row predates an
@@ -3465,6 +3677,8 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "intl_names": sql_intl_names(),
         "embedding_neardup": SQL_EMB_NEARDUP,
         "dedup_exact": SQL_DEDUP,
+        "substring_dedup": SQL_SUBSTRING_DEDUP,
+        "doc_chunks": SQL_DOC_CHUNKS,
         "token_count": SQL_TOKENS,
         "bpe_tokens": SQL_BPE_TOKENS,
         "quality_score": sql_quality_score(),

@@ -173,3 +173,30 @@ def test_dedup_exact_fixed_width_shuffle_key(spark):
     for m in re.finditer(r"hashpartitioning\((\w+)#", plan):
         assert m.group(1) != "text", "corpus-wide shuffle keyed on text"
     assert "LeftSemi" in plan  # verification pass is candidate-bounded
+
+
+def test_substring_dedup_fixed_width_pass1(spark):
+    """Exact-substring dedup: the corpus-wide pass-1 shuffle must key on
+    xxhash64(window) — 8 bytes/row — never on window or document text.
+    Window text may only appear in the candidate-bounded pass 2, whose
+    grouping/join keys lead with the hash (mirrors q_dedup_exact)."""
+    import re
+
+    plan = _plan(Q.q_substring_dedup(spark, SF_DIR))
+    assert "xxhash64" in plan
+    for m in re.finditer(r"hashpartitioning\((\w+)#", plan):
+        assert m.group(1) not in ("text", "w"), (
+            f"exchange keyed on raw text: {m.group(0)}"
+        )
+    # both verification semi-joins (hash pass, text re-check) planned
+    assert plan.count("LeftSemi") >= 2
+
+
+def test_doc_chunks_map_only(spark):
+    """Chunking is a narrow transform: the ONLY exchange in the plan is
+    the cosmetic output sort (rangepartitioning); no aggregation or
+    hash shuffle anywhere — at 100 TB the operator is map-only."""
+    plan = _plan(Q.q_doc_chunks(spark, SF_DIR))
+    assert "Generate" in plan  # posexplode
+    assert "hashpartitioning" not in plan
+    assert plan.count("Exchange") == 1 and "rangepartitioning" in plan
