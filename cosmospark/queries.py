@@ -3304,6 +3304,125 @@ ORDER BY id_a, id_b
 """
 
 
+def q_phash_clusters(spark, sf_dir):
+    """Image near-dup CLUSTERING: the full image-dedup pipeline end to
+    end — banded-hamming phash pairs (q_phash_neardup, exact recall)
+    → distributed connected components (alternating-star, O(log n)
+    rounds) → one canonical keeper per visual cluster. The image-side
+    twin of q_dedup_clusters. CC labels propagate on longs (the graph
+    kernel's key type); ``img_%012d`` ids are ZERO-PADDED, so numeric
+    min-label == the oracle's lexicographic MIN over the id strings."""
+    from cosmospark.graph import connected_components
+    from cosmospark.ztypes import IMAGES_SCHEMA
+
+    nid = lambda c: F.expr(f"cast(substr({c}, 5) as long)")  # noqa: E731
+    pairs = q_phash_neardup(spark, sf_dir).select(
+        nid("id_a").alias("na"), nid("id_b").alias("nb")
+    )
+    imgs = spark.createDataFrame(_phash_fixture_rows(), schema=IMAGES_SCHEMA).select(
+        nid("image_id").alias("nid")
+    )
+    cc = connected_components(imgs, pairs, id_col="nid", src="na", dst="nb")
+    return cc.select(
+        F.format_string("img_%012d", F.col("node")).alias("image_id"),
+        F.format_string("img_%012d", F.col("lab")).alias("cluster"),
+        (F.col("node") == F.col("lab")).alias("is_keeper"),
+    ).orderBy("image_id")
+
+
+def sql_phash_clusters():
+    """Recursive-CTE reachability closure over the same all-pairs
+    hamming graph (ground truth for banding + CC together)."""
+    vals = ", ".join(
+        f"('{r['image_id']}', {r['phash']})" for r in _phash_fixture_rows()
+    )
+    return f"""
+WITH RECURSIVE p(image_id, phash) AS (VALUES {vals}),
+pairs AS (
+  SELECT a.image_id AS id_a, b.image_id AS id_b
+  FROM p a JOIN p b ON a.image_id < b.image_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_HAM_T}
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(node, lab) AS (
+  SELECT image_id, image_id FROM p
+  UNION
+  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node
+),
+clusters AS (
+  SELECT node AS image_id, MIN(lab) AS cluster FROM reach GROUP BY node
+)
+SELECT image_id, cluster, (image_id = cluster) AS is_keeper
+FROM clusters ORDER BY image_id
+"""
+
+
+def q_image_zone_rollup(spark, sf_dir):
+    """The north-star composition as ONE oracled query: geotagged
+    images → broadcast-ZoneIndex PIP assignment against the 198-zone
+    lux world (zero-shuffle fact pass) → per-zone rollup of image
+    facts (count, distinct perceptual hashes, lossy-format count).
+    The skewed gen_images distribution (70 % of rows in 2 megacity
+    boxes) makes the rollup's hot keys real."""
+    from cosmospark.ztypes import IMAGES_SCHEMA
+
+    imgs = spark.createDataFrame(_phash_fixture_rows(), schema=IMAGES_SCHEMA)
+    zones = _lux_typed_zones(spark)
+    a = assign_zones(imgs.select("image_id", "lon", "lat", "phash", "fmt"), zones)
+    return (
+        a.filter(F.col("zone_id") >= 0)
+        .groupBy("zone_id")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.count_distinct("phash").alias("n_phash"),
+            F.sum((F.col("fmt") == "lossy").cast("bigint")).alias("n_lossy"),
+        )
+        .orderBy("zone_id")
+    )
+
+
+def sql_image_zone_rollup(sf_dir: str) -> str:
+    """Rectangle-PIP + (rank, area, id) argmin over the SAME float64
+    image coordinates (shipped via parquet — DuckDB's literal parser is
+    1-ulp wrong for arbitrary doubles), then the per-zone rollup."""
+    rows = _phash_fixture_rows()
+    path = _materialize_oracle_parquet(
+        "image_zone_pts",
+        sf_dir,
+        {
+            "image_id": [r["image_id"] for r in rows],
+            "lon": [r["lon"] for r in rows],
+            "lat": [r["lat"] for r in rows],
+            "phash": [r["phash"] for r in rows],
+            "fmt": [r["fmt"] for r in rows],
+        },
+    )
+    return f"""
+WITH pts AS (SELECT * FROM '{path}'),
+zones AS (SELECT * FROM {_zones_values_sql()}),
+cand AS (
+  SELECT p.image_id, p.phash, p.fmt, z.id, z.rank, z.area
+  FROM pts p JOIN zones z
+    ON p.lon BETWEEN z.minx AND z.maxx AND p.lat BETWEEN z.miny AND z.maxy
+),
+ranked AS (
+  SELECT image_id, phash, fmt, id,
+         row_number() OVER (PARTITION BY image_id ORDER BY rank, area, id) AS rn
+  FROM cand
+),
+assigned AS (SELECT image_id, phash, fmt, id AS zone_id FROM ranked WHERE rn = 1)
+SELECT zone_id,
+       CAST(count(*) AS BIGINT) AS n_images,
+       CAST(count(DISTINCT phash) AS BIGINT) AS n_phash,
+       CAST(sum(CASE WHEN fmt = 'lossy' THEN 1 ELSE 0 END) AS BIGINT) AS n_lossy
+FROM assigned GROUP BY zone_id ORDER BY zone_id
+"""
+
+
 IVF_K = 8  # coarse centroids (lists)
 IVF_PROBES = 2  # lists probed per query
 
@@ -3544,6 +3663,8 @@ def queries() -> dict:
         # -- new in r5 (never driver-sampled): first in the window
         "substring_dedup": q_substring_dedup,
         "doc_chunks": q_doc_chunks,
+        "phash_clusters": q_phash_clusters,
+        "image_zone_rollup": q_image_zone_rollup,
         "ann_ivf_pq": q_ann_ivf_pq,
         "geo_tile_lut_incremental": q_geo_tile_lut_incremental,
         # -- rotated to the front for r5: last driver row predates an
@@ -3693,6 +3814,8 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "simhash": sql_simhash(sf_dir),
         "simhash_pairs": sql_simhash_pairs(sf_dir),
         "phash_neardup": sql_phash_neardup(),
+        "phash_clusters": sql_phash_clusters(),
+        "image_zone_rollup": sql_image_zone_rollup(sf_dir),
         "audio_features": sql_audio_features(sf_dir),
         "video_frames": sql_video_frames(),
         "ann_ivf": sql_ann_ivf(sf_dir),
