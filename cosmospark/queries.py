@@ -2190,6 +2190,100 @@ FROM w ORDER BY doc_id
 """
 
 
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher-style repetition quality filter (Rae et al. 2021 §A1.1):
+    per document, the fraction of characters covered by the MOST
+    FREQUENT word 2-gram (count × gram length / total chars) and the
+    character MASS ratio of DUPLICATED word 5-grams (every occurrence
+    of any 5-gram seen ≥ 2× counts with multiplicity, so heavy overlap
+    can push it past 1 — a deliberate, deterministic simplification of
+    Gopher's once-per-char coverage). Docs with < 2 words yield NULL
+    top2_* and dup5_frac = 0. Entirely higher-order
+    functions over the split-word array — a zero-shuffle map pass, the
+    right shape for a 100 TB corpus scrub (per-doc work is O(words²)
+    with words ≤ ~10³ after any sane pre-truncation). Tie-break for
+    the top 2-gram: max count, then lexicographically smallest gram
+    (binary/ASCII — matches the oracle's ORDER BY c DESC, gram)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.split("text", " ").alias("ws")
+    )
+    d = d.select(
+        "doc_id",
+        F.length("text").alias("tc"),
+        F.expr(
+            "if(size(ws) >= 2, transform(sequence(1, size(ws) - 1),"
+            " i -> concat_ws(' ', slice(ws, i, 2))), array())"
+        ).alias("g2"),
+        F.expr(
+            "if(size(ws) >= 5, transform(sequence(1, size(ws) - 4),"
+            " i -> concat_ws(' ', slice(ws, i, 5))), array())"
+        ).alias("g5"),
+    )
+    # per-position occurrence counts (quadratic scan of the small
+    # per-doc gram arrays; stays in the JVM, no explode/shuffle)
+    d = d.select(
+        "doc_id",
+        "tc",
+        "g2",
+        "g5",
+        F.expr("transform(g2, g -> size(filter(g2, x -> x = g)))").alias("c2"),
+        F.expr("transform(g5, g -> size(filter(g5, x -> x = g)))").alias("c5"),
+    )
+    top_gram = (
+        "array_min(transform(filter(arrays_zip(g2, c2),"
+        " s -> s.c2 = array_max(c2)), s -> s.g2))"
+    )
+    dup5_chars = (
+        "aggregate(filter(arrays_zip(g5, c5), s -> s.c5 >= 2),"
+        " 0L, (a, s) -> a + length(s.g5))"
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.expr("array_max(c2)").cast("bigint").alias("top2_count"),
+            F.expr(top_gram).alias("top2_gram"),
+            F.round(F.expr(f"array_max(c2) * length({top_gram}) / tc"), 4).alias(
+                "top2_frac"
+            ),
+            F.round(F.expr(f"{dup5_chars} / tc"), 4).alias("dup5_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def sql_gopher_repetition():
+    """Explode-and-count re-derivation: unnest positions → gram counts
+    → window argmax for the top 2-gram, plain SUM over c≥2 for the
+    duplicated-5-gram character mass."""
+    return """
+WITH w AS (SELECT doc_id, len(text) AS tc, string_split(text, ' ') AS ws
+           FROM documents),
+p2 AS (SELECT doc_id, tc, unnest(range(1, len(ws))) AS i, ws FROM w
+       WHERE len(ws) >= 2),
+g2 AS (SELECT doc_id, tc, array_to_string(ws[i:i+1], ' ') AS gram FROM p2),
+c2 AS (SELECT doc_id, tc, gram, COUNT(*) AS c FROM g2 GROUP BY ALL),
+t2 AS (SELECT doc_id, tc, gram, c,
+              row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY c DESC, gram) AS rn
+       FROM c2),
+p5 AS (SELECT doc_id, tc, unnest(range(1, len(ws) - 3)) AS i, ws FROM w
+       WHERE len(ws) >= 5),
+g5 AS (SELECT doc_id, tc, array_to_string(ws[i:i+4], ' ') AS gram FROM p5),
+c5 AS (SELECT doc_id, tc, gram, COUNT(*) AS c FROM g5 GROUP BY ALL),
+d5 AS (SELECT doc_id, SUM(c * len(gram)) AS dupchars FROM c5
+       WHERE c >= 2 GROUP BY doc_id)
+SELECT w.doc_id,
+       CAST(t2.c AS BIGINT) AS top2_count,
+       t2.gram AS top2_gram,
+       ROUND(t2.c * len(t2.gram) / w.tc, 4) AS top2_frac,
+       ROUND(COALESCE(d5.dupchars, 0) / w.tc, 4) AS dup5_frac
+FROM w
+LEFT JOIN t2 ON t2.doc_id = w.doc_id AND t2.rn = 1
+LEFT JOIN d5 ON d5.doc_id = w.doc_id
+ORDER BY w.doc_id
+"""
+
+
 JACCARD_T = 0.5
 # prefix computed at a slightly lower threshold so the guarantee also
 # covers values that ROUND up to the output threshold
@@ -3665,6 +3759,7 @@ def queries() -> dict:
         "doc_chunks": q_doc_chunks,
         "phash_clusters": q_phash_clusters,
         "image_zone_rollup": q_image_zone_rollup,
+        "gopher_repetition": q_gopher_repetition,
         "ann_ivf_pq": q_ann_ivf_pq,
         "geo_tile_lut_incremental": q_geo_tile_lut_incremental,
         # -- rotated to the front for r5: last driver row predates an
@@ -3816,6 +3911,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "phash_neardup": sql_phash_neardup(),
         "phash_clusters": sql_phash_clusters(),
         "image_zone_rollup": sql_image_zone_rollup(sf_dir),
+        "gopher_repetition": sql_gopher_repetition(),
         "audio_features": sql_audio_features(sf_dir),
         "video_frames": sql_video_frames(),
         "ann_ivf": sql_ann_ivf(sf_dir),

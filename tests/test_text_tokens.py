@@ -78,3 +78,41 @@ def test_release_cached_generations(spark):
     assert Q._CACHE_GENERATIONS == {}
     # rebuild after release still works
     assert Q.queries()["ngram_jaccard"](spark, sf).count() >= 0
+
+
+def test_gopher_repetition_crafted(spark, tmp_path):
+    """The sf fixture corpus never repeats a 5-gram (dup5_frac is 0
+    across the sweep), so the duplicated-5-gram arm and the < 2-word
+    NULL edge are pinned here on crafted docs, with Spark<->DuckDB
+    parity over the exact same parquet."""
+    from cosmospark.queries import q_gopher_repetition, sql_gopher_repetition
+
+    rows = [
+        # top 2-gram "a b" x3; no duplicated 5-gram
+        (0, "a b a b a b"),
+        # "x y z w q" x3 + four overlapping 5-grams x2 -> mass 99/29 > 1
+        (1, "x y z w q x y z w q x y z w q"),
+        (2, "solo"),  # < 2 words: NULL top2_*, dup5 = 0
+        # count tie between "t u" and "u t": lexicographic min wins
+        (3, "t u t"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    sf = str(tmp_path)
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    got = q_gopher_repetition(spark, sf).toPandas()
+    assert got["top2_count"][0] == 3 and got["top2_gram"][0] == "a b"
+    assert got["top2_frac"][0] == round(3 * 3 / 11, 4)
+    assert got["dup5_frac"][0] == 0.0
+    assert got["top2_frac"][1] == round(3 * 3 / 29, 4)  # "x y" x3
+    assert got["dup5_frac"][1] == round((3 + 2 + 2 + 2 + 2) * 9 / 29, 4)
+    assert pd.isna(got["top2_count"][2]) and pd.isna(got["top2_gram"][2])
+    assert got["dup5_frac"][2] == 0.0
+    assert got["top2_gram"][3] == "t u"  # tie at count 1, lexicographic min
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    ora = con.sql(sql_gopher_repetition()).df()
+    pd.testing.assert_frame_equal(got, ora, check_dtype=False)
