@@ -207,6 +207,7 @@ def main() -> None:
         "substring_dedup",
         "ngram_jaccard",
         "doc_fingerprint",
+        "gopher_repetition",
         "ann_brute_force",
         "ann_ivf",
         "ann_pq_rerank",

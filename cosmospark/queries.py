@@ -2200,52 +2200,72 @@ def q_gopher_repetition(spark, sf_dir):
     Gopher's once-per-char coverage). Docs with < 2 words yield NULL
     top2_* and dup5_frac = 0. Entirely higher-order
     functions over the split-word array — a zero-shuffle map pass, the
-    right shape for a 100 TB corpus scrub (per-doc work is O(words²)
-    with words ≤ ~10³ after any sane pre-truncation). Tie-break for
-    the top 2-gram: max count, then lexicographically smallest gram
-    (binary/ASCII — matches the oracle's ORDER BY c DESC, gram)."""
+    right shape for a 100 TB corpus scrub. Counts come from ONE
+    run-length fold over the array_sort'ed gram array (O(n log n) per
+    doc; the first cut's per-position filter scan was O(n²) and
+    measured 2.6× slower at sf0.1 — see BENCH/BASELINE.md). Tie-break
+    for the top 2-gram: max count, then lexicographically smallest
+    gram — sorted order makes 'first run to strictly beat the best'
+    exactly that (binary/ASCII — matches the oracle's ORDER BY c DESC,
+    gram)."""
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", "text", F.split("text", " ").alias("ws")
     )
+    # input-splittability guard (see q_minhash_lsh_pairs): the gram
+    # folds sit directly on the scan stage; a single-row-group file
+    # would cap them at 1-wide execution
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     d = d.select(
         "doc_id",
         F.length("text").alias("tc"),
         F.expr(
-            "if(size(ws) >= 2, transform(sequence(1, size(ws) - 1),"
-            " i -> concat_ws(' ', slice(ws, i, 2))), array())"
-        ).alias("g2"),
+            "if(size(ws) >= 2, array_sort(transform(sequence(1, size(ws) - 1),"
+            " i -> concat_ws(' ', slice(ws, i, 2)))), array())"
+        ).alias("s2"),
         F.expr(
-            "if(size(ws) >= 5, transform(sequence(1, size(ws) - 4),"
-            " i -> concat_ws(' ', slice(ws, i, 5))), array())"
-        ).alias("g5"),
+            "if(size(ws) >= 5, array_sort(transform(sequence(1, size(ws) - 4),"
+            " i -> concat_ws(' ', slice(ws, i, 5)))), array())"
+        ).alias("s5"),
     )
-    # per-position occurrence counts (quadratic scan of the small
-    # per-doc gram arrays; stays in the JVM, no explode/shuffle)
+    # single-pass run-length fold over each sorted gram array. State:
+    # (prev gram, current run, best run, best gram). new_run repeats as
+    # a sub-expression (O(1) string compare) because SQL lambdas can't
+    # bind locals. Ties keep the FIRST (sorted = lexicographic min).
+    run = "IF(x <=> st.prev, st.run + 1, 1L)"
     d = d.select(
         "doc_id",
         "tc",
-        "g2",
-        "g5",
-        F.expr("transform(g2, g -> size(filter(g2, x -> x = g)))").alias("c2"),
-        F.expr("transform(g5, g -> size(filter(g5, x -> x = g)))").alias("c5"),
-    )
-    top_gram = (
-        "array_min(transform(filter(arrays_zip(g2, c2),"
-        " s -> s.c2 = array_max(c2)), s -> s.g2))"
-    )
-    dup5_chars = (
-        "aggregate(filter(arrays_zip(g5, c5), s -> s.c5 >= 2),"
-        " 0L, (a, s) -> a + length(s.g5))"
+        F.expr(
+            f"""aggregate(s2,
+              named_struct('prev', CAST(NULL AS STRING), 'run', 0L,
+                           'best', 0L, 'bestg', CAST(NULL AS STRING)),
+              (st, x) -> named_struct(
+                'prev', x,
+                'run', {run},
+                'best', IF({run} > st.best, {run}, st.best),
+                'bestg', IF({run} > st.best, x, st.bestg)))"""
+        ).alias("t2"),
+        # duplicated-gram char mass, incrementally: the 2nd element of a
+        # run retroactively charges the 1st too (2×len), later ones 1×len
+        F.expr(
+            f"""aggregate(s5,
+              named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'mass', 0L),
+              (st, x) -> named_struct(
+                'prev', x,
+                'run', {run},
+                'mass', st.mass + CASE {run} WHEN 2 THEN 2L * length(x)
+                                  WHEN 1 THEN 0L ELSE length(x) END))"""
+        ).alias("d5"),
     )
     return (
         d.select(
             "doc_id",
-            F.expr("array_max(c2)").cast("bigint").alias("top2_count"),
-            F.expr(top_gram).alias("top2_gram"),
-            F.round(F.expr(f"array_max(c2) * length({top_gram}) / tc"), 4).alias(
+            F.expr("nullif(t2.best, 0L)").alias("top2_count"),
+            F.expr("t2.bestg").alias("top2_gram"),
+            F.round(F.expr("t2.best * length(t2.bestg) / tc"), 4).alias(
                 "top2_frac"
             ),
-            F.round(F.expr(f"{dup5_chars} / tc"), 4).alias("dup5_frac"),
+            F.round(F.expr("d5.mass / tc"), 4).alias("dup5_frac"),
         )
         .orderBy("doc_id")
     )
