@@ -68,6 +68,22 @@ def main() -> None:
         spark.catalog.clearCache()
         _gc.collect()
         spark._jvm.System.gc()
+        # Drain the C2 compile queue before the next measurement: a
+        # compile-heavy predecessor leaves a backlog that runs the NEXT
+        # query's freshly-generated whole-stage code interpreted (the
+        # r4 ngram 6.8 s artifact). The warmup run alone doesn't always
+        # cover it — when steady-state runs are ~2 s, warmup+3 timed
+        # runs all fit inside a 30 s backlog. Poll total JIT compile
+        # time until it plateaus (<20 ms growth per 250 ms), bounded.
+        mx = spark._jvm.java.lang.management.ManagementFactory.getCompilationMXBean()
+        last = mx.getTotalCompilationTime()
+        deadline = time.time() + 15
+        while time.time() < deadline:
+            time.sleep(0.25)
+            cur = mx.getTotalCompilationTime()
+            if cur - last < 20:
+                break
+            last = cur
 
     # --- headline: H3-encode + PIP assign throughput -----------------------
     zones = _lux_typed_zones(spark)
