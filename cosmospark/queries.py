@@ -2865,6 +2865,64 @@ EMB_NEARDUP_BLOCKS = 4
 _EMB_PRUNE_T = EMB_NEARDUP_T - 5.1e-7
 
 
+def _blocked_cosine_pairs(e, key_col: str, prune_t: float, blocks: int = None):
+    """Distributed exact all-pairs cosine candidate generation within
+    each ``key_col`` group (shared by q_embedding_neardup and
+    q_semdedup): each group's vectors split into B blocks (vec_id mod
+    B); the B(B+1)/2 block-pairs fan out as independent cogroup tasks
+    so no single executor holds a group's full n² work, and each task
+    runs ONE float64 GEMM over its tile. Returns distinct (id_a <
+    id_b) candidates at cosine ≥ prune_t; callers re-score exactly
+    with the sequential fold."""
+    import pandas as pd
+
+    B = blocks or EMB_NEARDUP_BLOCKS
+    base = e.select(
+        "vec_id", key_col, "embedding", F.pmod("vec_id", F.lit(B)).alias("blk")
+    )
+    side_a = base.select(
+        key_col,
+        F.col("blk").alias("bi"),
+        F.explode(F.expr(f"sequence(blk, {B - 1})")).alias("bj"),
+        "vec_id",
+        "embedding",
+    )
+    side_b = base.select(
+        key_col,
+        F.explode(F.expr("sequence(0, blk)")).alias("bi"),
+        F.col("blk").alias("bj"),
+        "vec_id",
+        "embedding",
+    )
+
+    def _gemm(key, la: pd.DataFrame, lb: pd.DataFrame) -> pd.DataFrame:
+        if len(la) == 0 or len(lb) == 0:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
+            )
+        A = np.stack(la["embedding"].to_numpy()).astype(np.float64)
+        Bm = np.stack(lb["embedding"].to_numpy()).astype(np.float64)
+        na = np.sqrt((A * A).sum(1))
+        nb = np.sqrt((Bm * Bm).sum(1))
+        na[na == 0] = 1.0
+        nb[nb == 0] = 1.0
+        C = (A / na[:, None]) @ (Bm / nb[:, None]).T  # one flat dgemm
+        ia, jb = np.nonzero(C >= prune_t)
+        ids_a = la["vec_id"].to_numpy()[ia]
+        ids_b = lb["vec_id"].to_numpy()[jb]
+        lo = np.minimum(ids_a, ids_b)
+        hi = np.maximum(ids_a, ids_b)
+        keep = lo < hi
+        return pd.DataFrame({"id_a": lo[keep], "id_b": hi[keep]})
+
+    return (
+        side_a.groupBy(key_col, "bi", "bj")
+        .cogroup(side_b.groupBy(key_col, "bi", "bj"))
+        .applyInPandas(_gemm, "id_a long, id_b long")
+        .distinct()
+    )
+
+
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup: same-label pairs with cosine ≥ 0.4 —
     EXACT semantics (hyperplane LSH cannot guarantee recall at ϑ=0.4:
@@ -2884,52 +2942,8 @@ def q_embedding_neardup(spark, sf_dir):
     Output is exactly the ground-truth pair set (oracle unchanged).
     For *approximate* similarity at scale, q_ann_lsh is the bucketed path.
     """
-    import pandas as pd
-
     e = _t(spark, sf_dir, "embeddings")
-    B = EMB_NEARDUP_BLOCKS
-    base = e.select(
-        "vec_id", "label", "embedding", F.pmod("vec_id", F.lit(B)).alias("blk")
-    )
-    side_a = base.select(
-        "label",
-        F.col("blk").alias("bi"),
-        F.explode(F.expr(f"sequence(blk, {B - 1})")).alias("bj"),
-        "vec_id",
-        "embedding",
-    )
-    side_b = base.select(
-        "label",
-        F.explode(F.expr("sequence(0, blk)")).alias("bi"),
-        F.col("blk").alias("bj"),
-        "vec_id",
-        "embedding",
-    )
-
-    def _gemm(key, la: pd.DataFrame, lb: pd.DataFrame) -> pd.DataFrame:
-        if len(la) == 0 or len(lb) == 0:
-            return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")})
-        A = np.stack(la["embedding"].to_numpy()).astype(np.float64)
-        Bm = np.stack(lb["embedding"].to_numpy()).astype(np.float64)
-        na = np.sqrt((A * A).sum(1))
-        nb = np.sqrt((Bm * Bm).sum(1))
-        na[na == 0] = 1.0
-        nb[nb == 0] = 1.0
-        C = (A / na[:, None]) @ (Bm / nb[:, None]).T  # one flat dgemm
-        ia, jb = np.nonzero(C >= _EMB_PRUNE_T)
-        ids_a = la["vec_id"].to_numpy()[ia]
-        ids_b = lb["vec_id"].to_numpy()[jb]
-        lo = np.minimum(ids_a, ids_b)
-        hi = np.maximum(ids_a, ids_b)
-        keep = lo < hi
-        return pd.DataFrame({"id_a": lo[keep], "id_b": hi[keep]})
-
-    cand = (
-        side_a.groupBy("label", "bi", "bj")
-        .cogroup(side_b.groupBy("label", "bi", "bj"))
-        .applyInPandas(_gemm, "id_a long, id_b long")
-        .distinct()
-    )
+    cand = _blocked_cosine_pairs(e, "label", _EMB_PRUNE_T)
     # exact re-score with the sequential fold (bit-identical to DuckDB)
     va = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
     vb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
@@ -2960,6 +2974,83 @@ WHERE ROUND(list_aggregate(list_transform(list_zip(ea, eb), x -> x[1] * x[2]), '
             / (sqrt(list_aggregate(list_transform(ea, x -> x * x), 'sum'))
                * sqrt(list_aggregate(list_transform(eb, x -> x * x), 'sum'))), 6) >= 0.4
 ORDER BY id_a, id_b
+"""
+
+
+SEMDEDUP_T = EMB_NEARDUP_T  # ε-ball threshold (cos ≥ 0.4)
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, deterministic
+    variant): (1) every embedding is assigned to its nearest coarse
+    centroid (cosine argmax, first-max ties — the q_ann_ivf
+    assignment, identical fold doubles in both engines); (2) exact
+    within-cluster cosine pairs at ≥ SEMDEDUP_T via the shared
+    block-pair GEMM cogroup (_blocked_cosine_pairs keyed on list_id);
+    (3) a row is PRUNED iff some smaller vec_id in its cluster sits
+    inside its ε-ball — 'keep the earliest of each neighborhood', the
+    deterministic stand-in for SemDeDup's keep-one-per-ball. The
+    clustering is what bounds the quadratic: at 10⁹ vectors with
+    K ∝ √n lists the pair work is n²/K per list, distributed
+    block-wise, and the assignment scan is partition-prunable
+    (ann.write_ivf layout)."""
+    e = _t(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(sf_dir)
+    scores = _ivf_scores_expr("embedding", cents, "spark")
+    lists = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(f"array_position({scores}, array_max({scores}))")
+        .cast("int")
+        .alias("list_id"),
+    )
+    cand = _blocked_cosine_pairs(lists, "list_id", _EMB_PRUNE_T)
+    # exact re-score with the sequential fold (bit-identical to DuckDB)
+    va = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    vb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    dot = "aggregate(zip_with(ea, eb, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+    na = "sqrt(aggregate(ea, 0D, (a, x) -> a + x * x))"
+    nb = "sqrt(aggregate(eb, 0D, (a, x) -> a + x * x))"
+    pruned = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(F.expr(f"round({dot} / ({na} * {nb}), 6)") >= SEMDEDUP_T)
+        .select(F.col("id_b").alias("vec_id"))  # id_a < id_b: later id pruned
+        .distinct()
+        .withColumn("_pr", F.lit(True))
+    )
+    return (
+        lists.select("vec_id", "list_id")
+        .join(pruned, "vec_id", "left")
+        .select("vec_id", "list_id", F.col("_pr").isNull().alias("is_kept"))
+        .orderBy("vec_id")
+    )
+
+
+def sql_semdedup(sf_dir: str) -> str:
+    """Plain within-cluster self-join re-derivation of assignment +
+    ε-ball pruning (ground truth for the GEMM + fold together)."""
+    cents = _ivf_centroids(sf_dir)
+    scores = _ivf_scores_expr("embedding", cents, "duck")
+    cos = (
+        "list_aggregate(list_transform(list_zip(a.embedding, b.embedding),"
+        " x -> x[1] * x[2]), 'sum')"
+        " / (sqrt(list_aggregate(list_transform(a.embedding, x -> x * x), 'sum'))"
+        " * sqrt(list_aggregate(list_transform(b.embedding, x -> x * x), 'sum')))"
+    )
+    return f"""
+WITH lists AS (
+  SELECT vec_id, embedding,
+         CAST(list_position({scores}, list_max({scores})) AS INT) AS list_id
+  FROM embeddings),
+pruned AS (
+  SELECT DISTINCT b.vec_id
+  FROM lists a JOIN lists b
+    ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+  WHERE ROUND({cos}, 6) >= {SEMDEDUP_T})
+SELECT l.vec_id, l.list_id, (p.vec_id IS NULL) AS is_kept
+FROM lists l LEFT JOIN pruned p ON p.vec_id = l.vec_id
+ORDER BY l.vec_id
 """
 
 
@@ -3780,6 +3871,7 @@ def queries() -> dict:
         "phash_clusters": q_phash_clusters,
         "image_zone_rollup": q_image_zone_rollup,
         "gopher_repetition": q_gopher_repetition,
+        "semdedup": q_semdedup,
         "ann_ivf_pq": q_ann_ivf_pq,
         "geo_tile_lut_incremental": q_geo_tile_lut_incremental,
         # -- rotated to the front for r5: last driver row predates an
@@ -3932,6 +4024,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "phash_clusters": sql_phash_clusters(),
         "image_zone_rollup": sql_image_zone_rollup(sf_dir),
         "gopher_repetition": sql_gopher_repetition(),
+        "semdedup": sql_semdedup(sf_dir),
         "audio_features": sql_audio_features(sf_dir),
         "video_frames": sql_video_frames(),
         "ann_ivf": sql_ann_ivf(sf_dir),
