@@ -46,12 +46,15 @@ def _load_rules(spark, path: str | None):
 
 
 def cmd_generate(args) -> int:
+    from pyspark.sql import SparkSession
+
     from cosmospark.pipeline import build_zones, read_zones, write_zones
     from cosmospark.session import get_spark
     from cosmospark.stats import compute_stats
     from cosmospark.ztypes import ZONES_RAW_SCHEMA
 
-    spark = get_spark(
+    pre = SparkSession.getActiveSession()
+    spark = pre or get_spark(
         app_name="cosmospark-generate",
         master=f"local[{args.num_threads}]" if args.num_threads else None,
     )
@@ -103,7 +106,8 @@ def cmd_generate(args) -> int:
     stats_doc = {**compute_stats(result), **typing_counters}
     write_zones(result, args.output, osm_filename=args.input, stats=stats_doc)
     print(json.dumps(stats_doc), file=sys.stderr)
-    spark.stop()
+    if pre is None:  # embedded callers keep their session
+        spark.stop()
     return 0
 
 
@@ -111,13 +115,17 @@ def cmd_compact(args) -> int:
     from cosmospark import checkpoint as ckpt
     from cosmospark.session import get_spark
 
-    spark = get_spark(app_name="cosmospark-compact")
+    from pyspark.sql import SparkSession
+
+    pre = SparkSession.getActiveSession()
+    spark = pre or get_spark(app_name="cosmospark-compact")
     spark.sparkContext.setLogLevel("ERROR")
     m = ckpt.compact_stage(
         spark, args.root, args.stage, target_bytes=args.target_mb << 20
     )
     print(json.dumps({"stage": args.stage, "n_files": m["n_files"], "n_rows": m["n_rows"]}), file=sys.stderr)
-    spark.stop()
+    if pre is None:  # embedded callers keep their session
+        spark.stop()
     return 0
 
 
@@ -174,13 +182,17 @@ def cmd_merge(args) -> int:
             )
             return 2
 
-    spark = get_spark(app_name="cosmospark-merge")
+    from pyspark.sql import SparkSession
+
+    pre = SparkSession.getActiveSession()
+    spark = pre or get_spark(app_name="cosmospark-merge")
     spark.sparkContext.setLogLevel("ERROR")
     shards = [read_zones(spark, p) for p in args.inputs]
     merged = merge_zones(shards)
     write_zones(merged, args.output)
     print(json.dumps({"n_zones": merged.count(), "n_shards": len(shards)}), file=sys.stderr)
-    spark.stop()
+    if pre is None:  # embedded callers keep their session
+        spark.stop()
     return 0
 
 
@@ -242,6 +254,14 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--table", default="zone_lut", help="bucketed table name")
     r.set_defaults(fn=cmd_rasterize)
 
+    if argv is None:
+        argv = sys.argv[1:]
+    # retro-compat (VERDICT r5 #7): the reference binary accepts bare
+    # `cosmogony -i in -o out` with no subcommand
+    # (src/bin/cosmogony.rs:199-204) — default to `generate` when the
+    # first arg is an option rather than a known subcommand.
+    if argv and argv[0].startswith("-") and argv[0] not in ("-h", "--help"):
+        argv = ["generate", *argv]
     args = ap.parse_args(argv)
     return args.fn(args)
 

@@ -110,6 +110,31 @@ def _t(spark, sf_dir, name):
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _widen_if_narrow(spark, df, *cols):
+    """CONDITIONAL input-splittability guard (VERDICT r5 #2).
+
+    Hash/fold work that sits directly on the scan stage runs exactly as
+    wide as the scan's file splits; parquet splits at ROW-GROUP
+    granularity, so a single-row-group file caps a compute-dense stage
+    at 1-wide execution regardless of cores (the image_pipeline r4
+    lesson). The r5 guards repartitioned unconditionally — correct for
+    the one-row-group bench fixture, but a corpus-wide text exchange
+    that a many-file lake input pays for nothing (AQE coalesces
+    partition COUNT afterwards; it never removes the Exchange — at
+    100 TB that's a multi-TB shuffle bought for zero parallelism gain).
+
+    So: inspect the planned scan's split count (driver-side metadata
+    only — no job runs) and repartition ONLY when the scan is narrower
+    than half the cores. A real lake input scans wide and skips the
+    exchange entirely; the durable fix remains write-side
+    (bucketing.write_splittable sizes row groups to task granularity).
+    """
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 >= par:
+        return df
+    return df.repartition(par, *cols)
+
+
 def q_pricing_summary(spark, sf_dir):
     """A2/P6-style grouped aggregation (TPC-H Q1 shape) with exact
     integer-cent sums."""
@@ -514,9 +539,13 @@ t AS (
     -- clamped into the grid exactly like tile_xy (cells.py): out-of-range
     -- lon / polar lat must floor to tile 0 / 4095, not run off the grid —
     -- parity previously held only because the point fixture never hits
-    -- the clamp (ADVICE r4)
+    -- the clamp (ADVICE r4). The LATITUDE clamps to the mercator domain
+    -- (±85.05112878°) BEFORE the transform, like tile_xy: for deeper
+    -- polar latitudes tan + 1/cos catastrophically cancels and ln() of a
+    -- non-positive value is NaN/NULL, which the index clamp can't repair
+    -- (ADVICE r5).
     least(greatest(CAST(floor((lon + 180.0) / 360.0 * 4096) AS BIGINT), 0), 4095) AS tx,
-    least(greatest(CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 4096) AS BIGINT), 0), 4095) AS ty
+    least(greatest(CAST(floor((1.0 - ln(tan(radians(least(greatest(lat, -85.05112878), 85.05112878))) + 1.0 / cos(radians(least(greatest(lat, -85.05112878), 85.05112878)))) / pi()) / 2.0 * 4096) AS BIGINT), 0), 4095) AS ty
   FROM pts)
 SELECT tx, ty, COUNT(*) AS n FROM t GROUP BY tx, ty ORDER BY tx, ty
 """
@@ -1329,9 +1358,13 @@ t AS (
     -- clamped into the grid exactly like tile_xy (cells.py): out-of-range
     -- lon / polar lat must floor to tile 0 / 4095, not run off the grid —
     -- parity previously held only because the point fixture never hits
-    -- the clamp (ADVICE r4)
+    -- the clamp (ADVICE r4). The LATITUDE clamps to the mercator domain
+    -- (±85.05112878°) BEFORE the transform, like tile_xy: for deeper
+    -- polar latitudes tan + 1/cos catastrophically cancels and ln() of a
+    -- non-positive value is NaN/NULL, which the index clamp can't repair
+    -- (ADVICE r5).
     least(greatest(CAST(floor((lon + 180.0) / 360.0 * 4096) AS BIGINT), 0), 4095) AS tx,
-    least(greatest(CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 4096) AS BIGINT), 0), 4095) AS ty
+    least(greatest(CAST(floor((1.0 - ln(tan(radians(least(greatest(lat, -85.05112878), 85.05112878))) + 1.0 / cos(radians(least(greatest(lat, -85.05112878), 85.05112878)))) / pi()) / 2.0 * 4096) AS BIGINT), 0), 4095) AS ty
   FROM pts),
 a12 AS (SELECT tx, ty, COUNT(*) AS n FROM t GROUP BY tx, ty),
 a11 AS (SELECT tx >> 1 AS tx, ty >> 1 AS ty, CAST(SUM(n) AS BIGINT) AS n FROM a12 GROUP BY 1, 2),
@@ -2198,9 +2231,15 @@ def q_gopher_repetition(spark, sf_dir):
     of any 5-gram seen ≥ 2× counts with multiplicity, so heavy overlap
     can push it past 1 — a deliberate, deterministic simplification of
     Gopher's once-per-char coverage). Docs with < 2 words yield NULL
-    top2_* and dup5_frac = 0. Entirely higher-order
-    functions over the split-word array — a zero-shuffle map pass, the
-    right shape for a 100 TB corpus scrub. Counts come from ONE
+    top2_* and dup5_chars = 0. Outputs are the INTEGER numerator /
+    denominator (char masses + total_chars), never rounded double
+    ratios: Spark rounds doubles via BigDecimal HALF_UP while DuckDB
+    rounds via float multiply, so a quotient landing near a .00005
+    boundary can hash-mismatch across engines (ADVICE r5; the
+    substring_dedup convention) — callers divide. Entirely higher-order
+    functions over the split-word array — a map pass (plus the
+    CONDITIONAL narrow-input guard below, a no-op on many-file inputs),
+    the right shape for a 100 TB corpus scrub. Counts come from ONE
     run-length fold over the array_sort'ed gram array (O(n log n) per
     doc; the first cut's per-position filter scan was O(n²) and
     measured 2.6× slower at sf0.1 — see BENCH/BASELINE.md). Tie-break
@@ -2211,10 +2250,10 @@ def q_gopher_repetition(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", "text", F.split("text", " ").alias("ws")
     )
-    # input-splittability guard (see q_minhash_lsh_pairs): the gram
-    # folds sit directly on the scan stage; a single-row-group file
-    # would cap them at 1-wide execution
-    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    # conditional input-splittability guard (see _widen_if_narrow): the
+    # gram folds sit directly on the scan stage; a single-row-group file
+    # would cap them at 1-wide execution. No-op on a many-file input.
+    d = _widen_if_narrow(spark, d, "doc_id")
     d = d.select(
         "doc_id",
         F.length("text").alias("tc"),
@@ -2262,10 +2301,11 @@ def q_gopher_repetition(spark, sf_dir):
             "doc_id",
             F.expr("nullif(t2.best, 0L)").alias("top2_count"),
             F.expr("t2.bestg").alias("top2_gram"),
-            F.round(F.expr("t2.best * length(t2.bestg) / tc"), 4).alias(
-                "top2_frac"
+            F.expr("t2.best * cast(length(t2.bestg) as bigint)").alias(
+                "top2_chars"
             ),
-            F.round(F.expr("d5.mass / tc"), 4).alias("dup5_frac"),
+            F.expr("d5.mass").alias("dup5_chars"),
+            F.col("tc").cast("long").alias("total_chars"),
         )
         .orderBy("doc_id")
     )
@@ -2295,8 +2335,9 @@ d5 AS (SELECT doc_id, SUM(c * len(gram)) AS dupchars FROM c5
 SELECT w.doc_id,
        CAST(t2.c AS BIGINT) AS top2_count,
        t2.gram AS top2_gram,
-       ROUND(t2.c * len(t2.gram) / w.tc, 4) AS top2_frac,
-       ROUND(COALESCE(d5.dupchars, 0) / w.tc, 4) AS dup5_frac
+       CAST(t2.c * len(t2.gram) AS BIGINT) AS top2_chars,
+       CAST(COALESCE(d5.dupchars, 0) AS BIGINT) AS dup5_chars,
+       CAST(w.tc AS BIGINT) AS total_chars
 FROM w
 LEFT JOIN t2 ON t2.doc_id = w.doc_id AND t2.rn = 1
 LEFT JOIN d5 ON d5.doc_id = w.doc_id
@@ -2334,9 +2375,25 @@ def _maybe_broadcast(df, est_bytes: int, budget: int | None = None):
 # generation of cached state instead of accumulating forever.
 _CACHE_GENERATIONS: dict[str, list] = {}
 
-# static-table size estimates, keyed by (kind, table path); see
-# q_ngram_jaccard for rationale
-_SIZE_EST_CACHE: dict[tuple[str, str], int] = {}
+# static-table size estimates, keyed by (kind, table path, mtime); see
+# q_ngram_jaccard for rationale. The mtime component self-invalidates
+# when the table is regenerated at the same path (ADVICE r5).
+_SIZE_EST_CACHE: dict[tuple[str, str, float], int] = {}
+
+
+def _path_mtime(p: str) -> float:
+    """Freshness stamp for a parquet path: the max mtime of the
+    file/dir and (for a directory) its direct entries — parquet
+    re-writes replace part files, which bumps at least one of these.
+    Missing paths stamp -1.0 (the read will fail anyway)."""
+    try:
+        mt = os.path.getmtime(p)
+        if os.path.isdir(p):
+            for e in os.scandir(p):
+                mt = max(mt, e.stat().st_mtime)
+        return mt
+    except OSError:
+        return -1.0
 
 
 def _cache_generation(key: str, *dfs):
@@ -2397,7 +2454,12 @@ def q_ngram_jaccard(spark, sf_dir, broadcast_budget_bytes: int | None = None):
     # ANALYZE output, don't change between invocations — re-running the
     # scan per call would tax every repeated caller (benchmarks,
     # composed pipelines) for a number that cannot change.
-    ck = ("ngram_size_est", str(sf_dir))
+    # cache key includes the parquet path's mtime (ADVICE r5): a table
+    # regenerated at the same path within one session (tests, refreshed
+    # fixtures) must not reuse a stale estimate — an under-estimate
+    # could wrongly broadcast an over-budget side (OOM risk, not a
+    # wrong result). Directory mtime changes on any file add/replace.
+    ck = ("ngram_size_est", str(sf_dir), _path_mtime(f"{sf_dir}/documents.parquet"))
     if ck not in _SIZE_EST_CACHE:
         est = d.agg(
             F.sum(F.length("text")).alias("b"), F.count("*").alias("n")
@@ -3101,7 +3163,12 @@ SELECT pid, id AS zone_id FROM ranked WHERE rn = 1 ORDER BY pid
 
 
 # ---------------------------------------------------------------------------
-# Spark-only operators (no SQL oracle → driver does rows-only checks)
+# Hash-heavy near-dup operators (minhash / simhash / phash / clusters /
+# gopher / semdedup / audio / video / ann_ivf). Historically "Spark-only,
+# rows-only checks"; since r4/r5 every one of these is FULLY hash-oracled
+# — DuckDB lacks xxhash64, so the oracles recompute signatures with the
+# bit-identical pure-Python XXH64 (cosmospark.xxh) shipped to parquet,
+# then re-derive the relational steps in SQL (VERDICT r5 wrong #3).
 
 
 MINHASH_N, MINHASH_BANDS = 16, 4
@@ -3123,14 +3190,14 @@ def q_minhash_lsh_pairs(spark, sf_dir):
         .select("doc_id", "text")
         .filter(F.size(F.split("text", " ")) >= 3)
     )
-    # input-splittability guard: the 16-minhash computation sits
-    # DIRECTLY on the scan stage (no shuffle upstream), so a
+    # conditional input-splittability guard: the 16-minhash computation
+    # sits DIRECTLY on the scan stage (no shuffle upstream), so a
     # single-row-group input file caps it at 1-wide execution (the
     # image_pipeline r4 row-group lesson; the sf0.1 fixture is one row
-    # group). One narrow text-only exchange buys full-width hashing;
-    # a real lake's many-file input already scans wide and AQE
-    # coalesces the extra partitions away.
-    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    # group). _widen_if_narrow pays the narrow text-only exchange ONLY
+    # when the scan is actually narrow — a real lake's many-file input
+    # already scans wide and skips it (VERDICT r5 #2).
+    d = _widen_if_narrow(spark, d, "doc_id")
     sh = F.expr(
         "transform(sequence(0, size(split(text, ' ')) - 3), "
         "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"
@@ -3372,10 +3439,10 @@ def q_simhash_pairs(spark, sf_dir):
     must agree on ≥ 1 band) — equi-join on (source, band, bits), exact
     bit_count(xor) verification. No cartesian; exact recall."""
     d = _t(spark, sf_dir, "documents")
-    # input-splittability guard (see q_minhash_lsh_pairs): the 64-lane
-    # fold runs on the scan stage; a single-row-group file would cap it
-    # 1-wide
-    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    # conditional input-splittability guard (see _widen_if_narrow): the
+    # 64-lane fold runs on the scan stage; a single-row-group file would
+    # cap it 1-wide. No-op on a many-file input.
+    d = _widen_if_narrow(spark, d, "doc_id")
     # materialize fingerprints ONCE: without this the 64-lane fold
     # expression inlines into the band generator and both self-join
     # sides — ~8 full fold evaluations per doc (measured 5.3 s → 1.5 s

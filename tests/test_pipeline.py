@@ -360,3 +360,23 @@ def test_rasterize_cli_end_to_end(spark, tmp_path):
     assert sorted((r["pid"], r["zone_id"]) for r in got.collect()) == sorted(
         (r["pid"], r["zone_id"]) for r in want.collect()
     )
+
+
+def test_generate_cli_bare_args_default_subcommand(spark, tmp_path, capsys):
+    """Retro-compat (VERDICT r5 #7): the reference binary accepts bare
+    `cosmogony -i in -o out` with no subcommand
+    (src/bin/cosmogony.rs:199-204); `python -m cosmospark -i ... -o ...`
+    must default to `generate` the same way."""
+    import json as _json
+
+    from cosmospark.__main__ import main
+
+    src = str(tmp_path / "zones_raw.jsonl")
+    with open(src, "w") as fh:
+        for z in lux_world():
+            fh.write(_json.dumps(z) + "\n")
+    out = str(tmp_path / "out.jsonl")
+    assert main(["-i", src, "-o", out, "--disable-voronoi"]) == 0
+    stats = _json.loads(capsys.readouterr().err.strip().splitlines()[-1])
+    assert stats["zone_count"] == 198
+    assert read_zones(spark, out).count() == 198

@@ -692,7 +692,11 @@ def test_salted_lut_join_matches_unsalted_under_shuffle(spark):
         salted = assign_zones_raster(pts, zones, res=9, lut=lut, n_salt=8)
         plan = salted._jdf.queryExecution().toString()
         assert "_salt" in plan, "salted path must key the join on the salt"
-        assert "BroadcastHashJoin" not in plan.split("AdaptiveSparkPlan")[0] or True
+        # broadcast is disabled, so the salted join must plan as a real
+        # shuffle join (the dead `or True` form of this assertion never
+        # checked anything — ADVICE r5)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        assert "BroadcastHashJoin" not in plan, plan
         a = {(r["pid"], r["zone_id"]) for r in base.collect()}
         b = {(r["pid"], r["zone_id"]) for r in salted.collect()}
         assert a == b

@@ -81,10 +81,11 @@ def test_release_cached_generations(spark):
 
 
 def test_gopher_repetition_crafted(spark, tmp_path):
-    """The sf fixture corpus never repeats a 5-gram (dup5_frac is 0
+    """The sf fixture corpus never repeats a 5-gram (dup5_chars is 0
     across the sweep), so the duplicated-5-gram arm and the < 2-word
     NULL edge are pinned here on crafted docs, with Spark<->DuckDB
-    parity over the exact same parquet."""
+    parity over the exact same parquet. Outputs are integer char
+    masses (ADVICE r5): callers divide by total_chars."""
     from cosmospark.queries import q_gopher_repetition, sql_gopher_repetition
 
     rows = [
@@ -102,12 +103,14 @@ def test_gopher_repetition_crafted(spark, tmp_path):
 
     got = q_gopher_repetition(spark, sf).toPandas()
     assert got["top2_count"][0] == 3 and got["top2_gram"][0] == "a b"
-    assert got["top2_frac"][0] == round(3 * 3 / 11, 4)
-    assert got["dup5_frac"][0] == 0.0
-    assert got["top2_frac"][1] == round(3 * 3 / 29, 4)  # "x y" x3
-    assert got["dup5_frac"][1] == round((3 + 2 + 2 + 2 + 2) * 9 / 29, 4)
+    assert got["top2_chars"][0] == 3 * 3 and got["total_chars"][0] == 11
+    assert got["dup5_chars"][0] == 0
+    assert got["top2_chars"][1] == 3 * 3  # "x y" x3
+    assert got["dup5_chars"][1] == (3 + 2 + 2 + 2 + 2) * 9
+    assert got["total_chars"][1] == 29
     assert pd.isna(got["top2_count"][2]) and pd.isna(got["top2_gram"][2])
-    assert got["dup5_frac"][2] == 0.0
+    assert pd.isna(got["top2_chars"][2])
+    assert got["dup5_chars"][2] == 0
     assert got["top2_gram"][3] == "t u"  # tie at count 1, lexicographic min
 
     con = duckdb.connect()
