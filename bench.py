@@ -4,20 +4,39 @@ local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
 The headline metric is the BASELINE.json one: images/sec through
 H3-encode + PIP zone-assignment (synthesized point fact table against the
 198-zone lux world), plus per-query wall times for the operator suite.
+
+r6 instrumentation (VERDICT r5 #1/#8 — reconciling wall-time artifacts
+on a co-tenant host): every timed measurement also records, for its
+best run, (a) "cpu_sec" — executor CPU-seconds from completed-stage
+executorCpuTime (Spark UI REST API; JVM task threads only) and (b)
+"tree_cpu_sec" — CPU-seconds of the whole OS process tree (driver JVM
++ forked python workers, from /proc), which is the number that actually
+co-varies with mapInPandas-heavy queries like image_pipeline. Wall
+seconds are the host's number; CPU seconds are the plan's — when an
+artifact regresses wall-side with flat tree-CPU, the mechanism is host
+contention, not the plan. Two host probes bracket the suite: the
+single-thread memory-bandwidth stream (host_probe_sec_*) and an
+8-process parallel numpy kernel (host_cpu_probe_sec_*) that co-varies
+with multi-process CPU steal — exactly the phase class the streaming
+probe is blind to (the r5 6.14 s image_pipeline draw had clean 0.1 s
+streaming probes).
 """
 
 from __future__ import annotations
 
+import gc as _gc
 import json
 import os
 import sys
 import time
+import urllib.request
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_pip = int(os.environ.get("COSMOSPARK_BENCH_PIP_ROWS", "2000000"))
+    n_runs = int(os.environ.get("COSMOSPARK_BENCH_RUNS", "3"))
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from pyspark.sql import functions as F
@@ -30,11 +49,17 @@ def main() -> None:
         app_name="cosmospark-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=max(cpus, 8),
+        # UI on for this process only: the /api/v1 stage metrics back
+        # the per-query cpu_sec instrumentation
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4050"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
+    cpu_secs: dict[str, float] = {}
+    tree_cpu_secs: dict[str, float] = {}
 
+    # --- host probes --------------------------------------------------------
     def _host_probe() -> float:
         """Memory-bandwidth control: best-of-3 streaming pass over 30M
         float64 (~0.13 s on an idle box; the sandbox host has co-tenant
@@ -52,9 +77,104 @@ def main() -> None:
             best = min(best, time.time() - t0)
         return round(best, 3)
 
-    host_probe_start = _host_probe()
+    def _cpu_probe(n_procs: int = 8) -> float:
+        """PARALLEL-CPU control (r6): n_procs forked workers each run a
+        fixed numpy kernel (~60 ms idle-host per proc); the wall time of
+        the slowest co-varies with host CPU oversubscription across
+        many processes — the contention mode that hits 32-python-worker
+        queries (image_pipeline) but NOT the single-thread streaming
+        probe above. ~0.08 s idle; multi-second during a steal phase."""
+        import multiprocessing as _mp
 
-    import gc as _gc
+        def _kern(q):
+            import numpy as _np
+
+            x = _np.arange(1_500_000, dtype=_np.float64).reshape(-1, 100)
+            s = 0.0
+            for _ in range(8):
+                s += float(_np.sin(x[:, :64]).sum())
+            q.put(s)
+
+        ctx = _mp.get_context("fork")
+        q = ctx.Queue()
+        procs = [ctx.Process(target=_kern, args=(q,)) for _ in range(n_procs)]
+        t0 = time.time()
+        for p in procs:
+            p.start()
+        for p in procs:
+            q.get()
+        wall = time.time() - t0
+        for p in procs:
+            p.join()
+        return round(wall, 3)
+
+    host_probe_start = _host_probe()
+    host_cpu_probe_start = _cpu_probe()
+
+    # --- executor CPU-seconds from the UI REST API --------------------------
+    _api = "http://localhost:4050/api/v1"
+
+    def _stage_cpu_ns() -> int | None:
+        """Total executorCpuTime (ns) across completed stages, or None
+        if the API is unavailable (instrumentation must never fail the
+        bench)."""
+        try:
+            apps = json.load(
+                urllib.request.urlopen(f"{_api}/applications", timeout=5)
+            )
+            app_id = apps[0]["id"]
+            stages = json.load(
+                urllib.request.urlopen(
+                    f"{_api}/applications/{app_id}/stages?status=complete",
+                    timeout=5,
+                )
+            )
+            return sum(int(s.get("executorCpuTime", 0)) for s in stages)
+        except Exception:
+            return None
+
+    _HZ = os.sysconf("SC_CLK_TCK")
+
+    def _tree_cpu_snapshot() -> dict[int, float]:
+        """Per-pid CPU seconds (utime+stime) of THIS process tree:
+        driver JVM + forked pyspark worker daemons. Stage
+        executorCpuTime counts JVM task threads only — python-heavy
+        stages (the mapInPandas decode in image_pipeline) spend their
+        CPU in worker processes that only an OS-level walk sees. The r5
+        reconciliation gap was exactly this blind spot: wall regressed
+        with clean JVM-side probes."""
+        import glob
+
+        me = os.getpid()
+        ppid: dict[int, int] = {}
+        cpu: dict[int, float] = {}
+        for st in glob.glob("/proc/[0-9]*/stat"):
+            try:
+                head, tail = open(st).read().rsplit(")", 1)
+                pid = int(head.split(" ", 1)[0])
+                f = tail.split()
+                ppid[pid] = int(f[1])
+                cpu[pid] = (int(f[11]) + int(f[12])) / _HZ
+            except (OSError, ValueError, IndexError):
+                pass
+        out: dict[int, float] = {}
+        for pid in cpu:
+            p = pid
+            for _ in range(64):  # walk up; bounded against ppid cycles
+                if p == me:
+                    out[pid] = cpu[pid]
+                    break
+                p = ppid.get(p, 0)
+                if p <= 1:
+                    break
+        return out
+
+    def _tree_cpu_delta(s0: dict[int, float], s1: dict[int, float]) -> float:
+        """Pid-wise delta: workers that DIED mid-window take their
+        accumulated CPU with them (a slight undercount, never a
+        negative); workers forked mid-window count in full (their CPU
+        starts at ~0)."""
+        return sum(max(0.0, v - s0.get(p, 0.0)) for p, v in s1.items())
 
     def _scrub():
         """Between measurements: drop cached lineages AND force a
@@ -85,6 +205,37 @@ def main() -> None:
                 break
             last = cur
 
+    def _timed(name: str, fn, runs: int = n_runs):
+        """Uniform measurement protocol for EVERY bench entry (r5 ran
+        slightly different protocols per section; r6 unifies): one
+        untimed warmup, scrub, then best-of-N timed runs with a scrub
+        after each. Records wall seconds (timings) and the best run's
+        executor CPU-seconds (cpu_secs). Returns the last run's
+        result."""
+        fn()  # warmup: JIT + python daemons out of the measurement
+        _scrub()
+        best, best_cpu, best_tree, last = float("inf"), None, None, None
+        for _ in range(runs):
+            c0 = _stage_cpu_ns()
+            p0 = _tree_cpu_snapshot()
+            t0 = time.time()
+            last = fn()
+            dt = time.time() - t0
+            p1 = _tree_cpu_snapshot()
+            c1 = _stage_cpu_ns()
+            if dt < best:
+                best = dt
+                best_tree = _tree_cpu_delta(p0, p1)
+                if c0 is not None and c1 is not None:
+                    best_cpu = (c1 - c0) / 1e9
+            _scrub()
+        timings[name] = round(best, 3)
+        if best_cpu is not None:
+            cpu_secs[name] = round(best_cpu, 2)
+        if best_tree is not None:
+            tree_cpu_secs[name] = round(best_tree, 2)
+        return last, best
+
     # --- headline: H3-encode + PIP assign throughput -----------------------
     zones = _lux_typed_zones(spark)
     pts = spark.range(n_pip).select(
@@ -92,21 +243,12 @@ def main() -> None:
         F.expr("cast(2.0 + (id * 7919 % 1300) / 100.0 as double)").alias("lon"),
         F.expr("cast(44.0 + (id * 104729 % 1000) / 100.0 as double)").alias("lat"),
     )
-    # warm up the session (JVM JIT + python workers) so the metric
-    # measures steady-state throughput, not daemon spawn — a short warmup
-    # leaves the JVM interpreter-bound and halves the reading
-    encode_and_assign(pts, zones).count()
-
-    n_runs_hl = int(os.environ.get("COSMOSPARK_BENCH_RUNS", "3"))
-    pip_sec, n_assigned = float("inf"), 0
-    for _ in range(n_runs_hl):
-        t0 = time.time()
-        n_assigned = encode_and_assign(pts, zones).filter(
-            F.col("zone_id") >= 0
-        ).count()
-        pip_sec = min(pip_sec, time.time() - t0)
-        _scrub()
-    timings["pip_assign"] = round(pip_sec, 3)
+    n_assigned, pip_sec = _timed(
+        "pip_assign",
+        lambda: encode_and_assign(pts, zones)
+        .filter(F.col("zone_id") >= 0)
+        .count(),
+    )
     images_per_sec = n_pip / pip_sec if pip_sec > 0 else 0.0
 
     # --- skew: 70% of points in 2 megacity communes → one zone_id
@@ -125,11 +267,12 @@ def main() -> None:
         F.col("id").alias("pid"), mega.alias("p")
     ).select("pid", F.col("p.lon").alias("lon"), F.col("p.lat").alias("lat"))
     skew_assigned = encode_and_assign(pts_skew, zones)
-    salted_count(skew_assigned, ["zone_id"], n_salt=32, salt_col="pid").count()  # warm
-    t0 = time.time()
-    zc = salted_count(skew_assigned, ["zone_id"], n_salt=32, salt_col="pid")
-    skew_rows = zc.agg(F.sum("n").alias("t"), F.max("n").alias("mx")).collect()[0]
-    timings["pip_skewed_salted_rollup"] = round(time.time() - t0, 3)
+
+    def _skew_rollup():
+        zc = salted_count(skew_assigned, ["zone_id"], n_salt=32, salt_col="pid")
+        return zc.agg(F.sum("n").alias("t"), F.max("n").alias("mx")).collect()[0]
+
+    skew_rows, _ = _timed("pip_skewed_salted_rollup", _skew_rollup)
     skew_top_key_frac = round(skew_rows["mx"] / skew_rows["t"], 3)
 
     # --- representative image pipeline (decode+invariants+phash+PIP) -------
@@ -144,20 +287,17 @@ def main() -> None:
         from cosmospark.imagejob import gen_images_parquet
 
         gen_images_parquet(img_path, 200_000, px=16)
+        _scrub()  # generation leaves a full session of state
     from cosmospark.imagejob import image_pipeline
 
     images = spark.read.parquet(img_path)
-    image_pipeline(images, zones).agg(F.count("*")).collect()  # warm
-    img_sec, inv = float("inf"), None
-    for _ in range(n_runs_hl):
-        t0 = time.time()
-        inv = image_pipeline(images, zones).agg(
+    inv, img_sec = _timed(
+        "image_pipeline",
+        lambda: image_pipeline(images, zones).agg(
             F.count("*").alias("n"),
             F.sum(F.col("pixels_ok").cast("long")).alias("pix_ok"),
-        ).collect()[0]
-        img_sec = min(img_sec, time.time() - t0)
-        _scrub()
-    timings["image_pipeline"] = round(img_sec, 3)
+        ).collect()[0],
+    )
     image_rows_per_sec = round(inv["n"] / img_sec)
 
     # --- PBF front door: blob-decode throughput (scalar vs vectorized) -----
@@ -208,7 +348,7 @@ def main() -> None:
     pbf_decode_mbps = round(_mb / vec_sec, 1)
     pbf_decode_speedup = round(scalar_sec / vec_sec, 1)
 
-    _scrub()  # the PBF/image sections above leave a full session's state
+    _scrub()  # the PBF section above leaves a full session's state
 
     # --- operator suite -----------------------------------------------------
     suite = [
@@ -226,8 +366,10 @@ def main() -> None:
         "gopher_repetition",
         "ann_brute_force",
         "ann_ivf",
+        "ann_ivf_written",
         "ann_pq_rerank",
         "ann_ivf_pq",
+        "semdedup",
         "minhash_lsh_pairs",
         "simhash_pairs",
         "phash_neardup",
@@ -235,9 +377,7 @@ def main() -> None:
         "audio_features",
         "video_frames",
     ]
-    # Each suite query: ONE untimed warmup execution, then best of
-    # BENCH_RUNS timed executions, cache cleared between runs. Two
-    # reasons, both measured:
+    # Measurement rationale (both mechanisms measured, see _timed):
     #  * The sandbox host has multi-minute slow phases (co-tenant
     #    memory-bandwidth contention; the same plan measures 5.5 s and
     #    28 s back-to-back in one session) — min-of-N reports the
@@ -257,19 +397,28 @@ def main() -> None:
     #    run per query lets the JIT reach steady state — exactly the
     #    headline-path methodology above, and what a cluster job (one
     #    plan per driver JVM, minutes-long stages) sees from task 2 on.
-    n_runs = int(os.environ.get("COSMOSPARK_BENCH_RUNS", "3"))
     qs = queries()
     for name in suite:
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        _scrub()
-        best = float("inf")
-        for _ in range(n_runs):
-            t0 = time.time()
-            df = qs[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-            _scrub()
-        timings[name] = round(best, 3)
+        _timed(
+            name,
+            lambda name=name: qs[name](spark, sf_dir)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
+
+    # semdedup centroid skew (VERDICT r5 #6): the n²/K bound is real
+    # only if Lloyd clusters stay bounded — report K and the realized
+    # max-cluster fraction on the bench table
+    from cosmospark.queries import _semdedup_centroids
+
+    sd_counts = (
+        qs["semdedup"](spark, sf_dir).groupBy("list_id").count().collect()
+    )
+    sd_total = sum(r["count"] for r in sd_counts)
+    semdedup_k = len(_semdedup_centroids(sf_dir))
+    semdedup_max_frac = round(max(r["count"] for r in sd_counts) / sd_total, 4)
+    _scrub()
 
     # --- the no-broadcast partitioned assignment path (VERDICT r2 #8):
     # same fact table through the cell-cogroup join — the strategy
@@ -284,14 +433,7 @@ def main() -> None:
     part_df = assign_zones(
         encode_points(pts), zones, strategy="partitioned", id_col="pid"
     ).filter(F.col("zone_id") >= 0)
-    part_df.count()  # warm (python workers for the cogroup shape)
-    part_sec, n_part = float("inf"), 0
-    for _ in range(n_runs_hl):
-        t0 = time.time()
-        n_part = part_df.count()
-        part_sec = min(part_sec, time.time() - t0)
-        _scrub()
-    timings["pip_assign_partitioned"] = round(part_sec, 3)
+    n_part, part_sec = _timed("pip_assign_partitioned", part_df.count)
     partitioned_images_per_sec = round(n_pip / part_sec) if part_sec > 0 else 0
     assert n_part == n_assigned, "partitioned strategy disagrees with broadcast"
 
@@ -310,14 +452,7 @@ def main() -> None:
     rast_df = assign_zones_raster(pts, zones, res=9, lut=lut).filter(
         F.col("zone_id") >= 0
     )
-    rast_df.count()  # warm
-    rast_sec, n_rast = float("inf"), 0
-    for _ in range(n_runs_hl):
-        t0 = time.time()
-        n_rast = rast_df.count()
-        rast_sec = min(rast_sec, time.time() - t0)
-        _scrub()
-    timings["pip_assign_raster"] = round(rast_sec, 3)
+    n_rast, rast_sec = _timed("pip_assign_raster", rast_df.count)
     raster_images_per_sec = round(n_pip / rast_sec) if rast_sec > 0 else 0
 
     # exact mode: stable pixels answer from the LUT, boundary pixels
@@ -327,14 +462,7 @@ def main() -> None:
     rex_df = assign_zones_raster(
         pts, zones, res=9, lut=lut_x, exact=True
     ).filter(F.col("zone_id") >= 0)
-    rex_df.count()  # warm
-    rex_sec, n_rex = float("inf"), 0
-    for _ in range(n_runs_hl):
-        t0 = time.time()
-        n_rex = rex_df.count()
-        rex_sec = min(rex_sec, time.time() - t0)
-        _scrub()
-    timings["pip_assign_raster_exact"] = round(rex_sec, 3)
+    n_rex, rex_sec = _timed("pip_assign_raster_exact", rex_df.count)
     raster_exact_images_per_sec = round(n_pip / rex_sec) if rex_sec > 0 else 0
     assert n_rex == n_assigned, "exact raster disagrees with broadcast"
 
@@ -346,14 +474,7 @@ def main() -> None:
     rtile_df = assign_zones_tiles_raster(pts, zones, z=9, lut=lut_t).filter(
         F.col("zone_id") >= 0
     )
-    rtile_df.count()  # warm
-    rtile_sec, n_rtile = float("inf"), 0
-    for _ in range(n_runs_hl):
-        t0 = time.time()
-        n_rtile = rtile_df.count()
-        rtile_sec = min(rtile_sec, time.time() - t0)
-        _scrub()
-    timings["pip_assign_raster_tile"] = round(rtile_sec, 3)
+    n_rtile, rtile_sec = _timed("pip_assign_raster_tile", rtile_df.count)
     raster_tile_images_per_sec = round(n_pip / rtile_sec) if rtile_sec > 0 else 0
 
     # --- skewed raster LUT join, salted (VERDICT r4 #5): the planet
@@ -368,14 +489,7 @@ def main() -> None:
         skew_rast = assign_zones_raster(
             pts_skew, zones, res=9, lut=lut, n_salt=32
         ).filter(F.col("zone_id") >= 0)
-        skew_rast.count()  # warm
-        srast_sec, n_srast = float("inf"), 0
-        for _ in range(n_runs_hl):
-            t0 = time.time()
-            n_srast = skew_rast.count()
-            srast_sec = min(srast_sec, time.time() - t0)
-            _scrub()
-        timings["pip_assign_raster_skew_salted"] = round(srast_sec, 3)
+        n_srast, srast_sec = _timed("pip_assign_raster_skew_salted", skew_rast.count)
         raster_skew_images_per_sec = (
             round(n_pip / srast_sec) if srast_sec > 0 else 0
         )
@@ -426,6 +540,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "cpu_sec": cpu_secs,
+        "tree_cpu_sec": tree_cpu_secs,
         "sf": sf_dir,
         "cpus": cpus,
         "pip_rows": n_pip,
@@ -443,8 +559,12 @@ def main() -> None:
         "raster_skew_salted_images_per_sec": raster_skew_images_per_sec,
         "raster_skew_assigned_rows": n_srast,
         "raster_assigned_rows": n_rast,
+        "semdedup_k": semdedup_k,
+        "semdedup_max_cluster_frac": semdedup_max_frac,
         "host_probe_sec_start": host_probe_start,
         "host_probe_sec_end": _host_probe(),
+        "host_cpu_probe_sec_start": host_cpu_probe_start,
+        "host_cpu_probe_sec_end": _cpu_probe(),
         **planet,
     }
     print(json.dumps(result))

@@ -914,6 +914,70 @@ def adaptive_salted_agg(
     return partial.groupBy(*keys).agg(*final_aggs)
 
 
+def adaptive_cell_split(
+    pts: DataFrame,
+    resolutions: tuple[int, ...] = (9, 13, 17),
+    max_rows_per_cell: int = 100_000,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """ADAPTIVE CELL SPLITTING (north_rule: 'skew from megacity cells
+    is handled with salted repartitioning and ADAPTIVE CELL SPLITTING'
+    — this is the second half; salting is ``salted_count`` /
+    ``adaptive_salted_agg``): assign every point its coarsest cell
+    whose population is ≤ ``max_rows_per_cell``, descending hot cells
+    one resolution level at a time. The result columns ``res`` /
+    ``cell`` form a partitioning key under which every partition holds
+    ≤ max_rows_per_cell rows (except cells still hot at the finest
+    level, which a caller composes with salting), while COLD regions
+    keep coarse cells — no over-partitioning of empty ocean.
+
+    Scale shape: one narrow codegen pass encodes all levels
+    (col_cell_encode, no Arrow round-trip); each level adds one
+    partial-agg count whose exchange carries (cell, count) — distinct
+    cells, not rows — and one BROADCAST join back (hot-cell tables hold
+    ≤ n/max_rows_per_cell rows BY CONSTRUCTION, so the broadcast is
+    bounded by the very threshold that defines it: 10⁹ rows at the 10⁵
+    default → ≤ 10⁴ hot cells/level). The fact table is never
+    shuffled. Levels beyond the first count only rows inside
+    still-hot parents, so per-level agg input shrinks geometrically in
+    the cold fraction.
+
+    Returns ``pts`` + (res int, cell long). Deterministic: pure grid
+    arithmetic + counts, no sampling."""
+    assert len(resolutions) >= 1 and list(resolutions) == sorted(set(resolutions))
+    enc = pts
+    for r in resolutions:
+        enc = enc.withColumn(
+            f"_ac{r}", cells.col_cell_encode(F.col(lon_col), F.col(lat_col), r)
+        )
+    # hot flags, coarse → fine: a point is "still descending" at level i
+    # iff every ancestor level's cell was hot
+    live = None  # Column: still descending after level i
+    for i, r in enumerate(resolutions[:-1]):
+        scope = enc if live is None else enc.filter(live)
+        hot = (
+            scope.groupBy(f"_ac{r}")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > max_rows_per_cell)
+            .select(F.col(f"_ac{r}").alias(f"_hc{r}"), F.lit(True).alias(f"_h{r}"))
+        )
+        enc = enc.join(
+            F.broadcast(hot), enc[f"_ac{r}"] == hot[f"_hc{r}"], "left"
+        ).drop(f"_hc{r}")
+        step = F.col(f"_h{r}").isNotNull()
+        live = step if live is None else live & step
+    res_c = F.lit(resolutions[-1])
+    cell_c = F.col(f"_ac{resolutions[-1]}")
+    for r in reversed(resolutions[:-1]):
+        res_c = F.when(F.col(f"_h{r}").isNull(), F.lit(r)).otherwise(res_c)
+        cell_c = F.when(F.col(f"_h{r}").isNull(), F.col(f"_ac{r}")).otherwise(cell_c)
+    out = enc.select(
+        *pts.columns, res_c.alias("res"), cell_c.alias("cell")
+    )
+    return out
+
+
 def rollup_cells(assigned: DataFrame, resolutions: tuple[int, ...] = DEFAULT_RESOLUTIONS) -> DataFrame:
     """Hierarchical (cell, zone_type) rollup rebuilding the ZonesTree
     counts: aggregate ONCE at the finest resolution, then derive each

@@ -18,6 +18,8 @@ import struct
 
 import numpy as np
 
+from cosmospark.scratch import matmul as _smm, scratch as _scr
+
 _MAGIC_RAW = b"CSR1"
 _MAGIC_LOSSY = b"CSL1"
 _Q = 2.0  # flat quantization step; max per-coeff error _Q/2 → PSNR >> 40 dB
@@ -37,20 +39,40 @@ def _dct_matrix(n: int) -> np.ndarray:
 _D8 = _dct_matrix(8)
 
 
-def _rmulT(x: np.ndarray, m: np.ndarray) -> np.ndarray:
+def _rmulT(x: np.ndarray, m: np.ndarray, slot: str | None = None) -> np.ndarray:
     """x @ m.T over stacked matrices as ONE flat dgemm — np.matmul over
     tiny 8x8 stacks pays per-matrix BLAS dispatch, and np.tensordot's
-    internal transposes are slower than an explicit reshape."""
+    internal transposes are slower than an explicit reshape.
+
+    With ``slot`` the gemm writes into a pooled scratch buffer instead
+    of a fresh allocation (see cosmospark.scratch: per-batch fresh
+    multi-MB allocations re-fault kernel pages every Arrow batch)."""
     lead = x.shape[:-1]
     k = x.shape[-1]
-    return (x.reshape(-1, k) @ m.T).reshape(*lead, m.shape[0])
+    flat = x.reshape(-1, k)
+    if slot is None:
+        return (flat @ m.T).reshape(*lead, m.shape[0])
+    return _smm(flat, np.ascontiguousarray(m.T), slot).reshape(*lead, m.shape[0])
 
 
-def _sandwich(m: np.ndarray, x: np.ndarray) -> np.ndarray:
-    """m @ x @ m.T over stacked matrices (two flat dgemms)."""
-    y = _rmulT(x, m)  # (..., a, c)
-    z = _rmulT(y.swapaxes(-1, -2), m)  # (..., c, c') = (m @ y).T stacks
-    return z.swapaxes(-1, -2)
+def _sandwich(m: np.ndarray, x: np.ndarray, slot: str | None = None) -> np.ndarray:
+    """m @ x @ m.T over stacked matrices (two flat dgemms).
+
+    With ``slot``, every intermediate (including the reshape-of-a-
+    transposed-view copies, which numpy materializes as fresh arrays)
+    lives in the per-process scratch pool; the result is a scratch view
+    valid until the next _sandwich call with the same slot."""
+    if slot is None:
+        y = _rmulT(x, m)  # (..., a, c)
+        z = _rmulT(y.swapaxes(-1, -2), m)  # (..., c, c') = (m @ y).T stacks
+        return z.swapaxes(-1, -2)
+    y = _rmulT(x, m, slot + ".y")
+    yt = _scr(slot + ".t", y.shape[:-2] + (y.shape[-1], y.shape[-2]), y.dtype)
+    np.copyto(yt, y.swapaxes(-1, -2))
+    z = _rmulT(yt, m, slot + ".z")
+    zt = _scr(slot + ".o", z.shape[:-2] + (z.shape[-1], z.shape[-2]), z.dtype)
+    np.copyto(zt, z.swapaxes(-1, -2))
+    return zt
 
 
 def encode_raw(arr: np.ndarray) -> bytes:
@@ -125,26 +147,48 @@ def encode_lossy_batch(arrs: np.ndarray, orig_h: int | None = None, orig_w: int 
     return [header + qb[i].tobytes() for i in range(n)]
 
 
-def decode_lossy_batch(blobs, h: int, w: int) -> np.ndarray:
-    """Same-dimension lossy blobs → (n, h, w, 3) uint8, one einsum."""
+def decode_lossy_batch(blobs, h: int, w: int, reuse: bool = False) -> np.ndarray:
+    """Same-dimension lossy blobs → (n, h, w, 3) uint8, flat sgemms.
+
+    Every multi-MB INTERMEDIATE comes from the per-process scratch pool
+    (see cosmospark.scratch: per-batch fresh allocations re-fault
+    kernel pages, whose bandwidth is 300× phase-dependent on shared
+    hosts). By default the RESULT is an owned copy — safe everywhere.
+    ``reuse=True`` returns the scratch-backed view directly (valid only
+    until the next decode call from this process): the zero-allocation
+    mode for per-Arrow-batch hot loops that consume the pixels before
+    decoding again (imagejob.image_pipeline)."""
     n = len(blobs)
     ph, pw = h + ((-h) % 8), w + ((-w) % 8)
-    k = 3 * (ph // 8) * (pw // 8) * 64
-    q = np.empty((n, k), dtype=np.int16)
+    hb, wb = ph // 8, pw // 8
+    k = 3 * hb * wb * 64
+    q = _scr("dl.q", (n, k), np.int16)
     for i, b in enumerate(blobs):
         q[i] = np.frombuffer(b, dtype=np.int16, count=k, offset=8)
-    coef = (q.astype(np.float32) * np.float32(_Q)).reshape(n, 3, ph // 8, pw // 8, 8, 8)
-    blk = _sandwich(_D8.T, coef)
-    a = blk.transpose(0, 1, 2, 4, 3, 5).reshape(n, 3, ph, pw).transpose(0, 2, 3, 1) + np.float32(128.0)
-    return np.clip(np.round(a), 0, 255).astype(np.uint8)[:, :h, :w]
+    coef = _scr("dl.coef", (n, 3, hb, wb, 8, 8), np.float32)
+    np.multiply(q.reshape(coef.shape), np.float32(_Q), out=coef)
+    blk = _sandwich(_D8.T, coef, slot="dl.s")
+    # (n, 3, hb, wb, 8, 8) → (n, ph, pw, 3) in one strided copy: the
+    # target's natural 6-D factorization is (n, hb, 8, wb, 8, 3)
+    a = _scr("dl.a", (n, ph, pw, 3), np.float32)
+    np.copyto(a.reshape(n, hb, 8, wb, 8, 3), blk.transpose(0, 2, 4, 3, 5, 1))
+    np.add(a, np.float32(128.0), out=a)
+    np.rint(a, out=a)
+    np.clip(a, 0, 255, out=a)
+    out = _scr("dl.out", (n, ph, pw, 3), np.uint8)
+    np.copyto(out, a, casting="unsafe")
+    view = out[:, :h, :w]
+    return view if reuse else view.copy()
 
 
-def decode_raw_batch(blobs, h: int, w: int) -> np.ndarray:
+def decode_raw_batch(blobs, h: int, w: int, reuse: bool = False) -> np.ndarray:
+    """``reuse=True`` returns a scratch-backed view (see
+    decode_lossy_batch for the contract)."""
     n = len(blobs)
-    out = np.empty((n, h, w, 3), dtype=np.uint8)
+    out = _scr("dr.out", (n, h, w, 3), np.uint8)
     for i, b in enumerate(blobs):
         out[i] = np.frombuffer(b, dtype=np.uint8, count=h * w * 3, offset=8).reshape(h, w, 3)
-    return out
+    return out if reuse else out.copy()
 
 
 _POW2 = (np.uint64(1) << np.arange(64, dtype=np.uint64))

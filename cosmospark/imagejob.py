@@ -188,11 +188,18 @@ def image_pipeline(images: DataFrame, zones: DataFrame, px: int = 16, index=None
 
             raw_idx = np.nonzero(fmts == "raw")[0]
             if len(raw_idx):
-                dec = codecs.decode_raw_batch([blobs[i] for i in raw_idx], px, px)
+                # reuse=True: scratch-backed views, consumed before the
+                # next decode call (cosmospark.scratch contract) — the
+                # zero-allocation per-batch hot path
+                dec = codecs.decode_raw_batch(
+                    [blobs[i] for i in raw_idx], px, px, reuse=True
+                )
                 pix_ok[raw_idx] = (dec == expected[raw_idx]).all(axis=(1, 2, 3))
             lossy_idx = np.nonzero(fmts == "lossy")[0]
             if len(lossy_idx):
-                dec = codecs.decode_lossy_batch([blobs[i] for i in lossy_idx], px, px)
+                dec = codecs.decode_lossy_batch(
+                    [blobs[i] for i in lossy_idx], px, px, reuse=True
+                )
                 p = codecs.psnr_batch(expected[lossy_idx], dec)
                 psnr[lossy_idx] = p
                 pix_ok[lossy_idx] = p >= 40.0

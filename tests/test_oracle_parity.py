@@ -89,3 +89,50 @@ def test_all_queries_have_entries():
     assert len(qs) >= 20
     # every oracle key must exist in queries
     assert set(ORACLES) <= set(qs)
+
+
+def test_registry_window_math():
+    """ADVICE r5 (medium): the rotation policy's window math must not
+    silently drift — the documented total is pinned to the real count,
+    and the round's changed/new queries must sit INSIDE the driver's
+    front-first sample window."""
+    qs = Q.queries()
+    assert len(qs) == Q.REGISTRY_TOTAL, (
+        f"registry has {len(qs)} entries but REGISTRY_TOTAL={Q.REGISTRY_TOTAL}; "
+        "update the constant AND rotate changed queries into the window"
+    )
+    window = list(qs)[: Q.DRIVER_SAMPLE_CAP]
+    # r6 changed/new set — update each round alongside the rotation
+    for name in [
+        "geo_adaptive_cells",
+        "dedup_keep_best",
+        "ann_ivf_written",
+        "semdedup",
+        "ngram_jaccard",
+        "gopher_repetition",
+        "simhash",
+        "simhash_pairs",
+        "minhash_lsh_pairs",
+        "geo_tile_encode",
+        "geo_tile_pyramid",
+    ]:
+        assert name in window, f"r6-changed query {name} fell outside the sample window"
+
+
+def test_semdedup_cluster_skew(spark):
+    """VERDICT r5 #6: semdedup's n²/K bound is only real if the Lloyd
+    centroids yield BOUNDED cluster sizes. Pin K scaling and the
+    realized max-cluster fraction (≤ 3× uniform) on the driver table."""
+    cents = Q._semdedup_centroids(SF_DIR)
+    k = len(cents)
+    assert 8 <= k <= Q.SEMDEDUP_K_MAX
+    counts = (
+        Q.q_semdedup(spark, SF_DIR)
+        .groupBy("list_id")
+        .count()
+        .collect()
+    )
+    total = sum(r["count"] for r in counts)
+    mx = max(r["count"] for r in counts)
+    assert len(counts) == k, "every Lloyd cluster must be non-empty"
+    assert mx / total <= 3.0 / k, f"max cluster {mx}/{total} breaches 3x uniform at K={k}"

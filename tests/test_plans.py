@@ -234,3 +234,81 @@ def test_splittability_guard_is_conditional(spark, tmp_path):
     )
     # the only exchange left is the cosmetic output sort
     assert wplan.count("Exchange") == 1 and "rangepartitioning" in wplan
+
+
+def test_ann_ivf_written_partition_pruning(spark):
+    """VERDICT r5 #5: over the written `list_id=<k>/` layout the probe
+    filter must become Catalyst PARTITION PRUNING — PartitionFilters on
+    the scan, and at runtime the job reads files from exactly the P
+    probed list directories, never the other K-P."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from cosmospark.ann import probe_lists
+    from cosmospark.queries import IVF_K, IVF_PROBES, _ivf_centroids
+
+    df = Q.q_ann_ivf_written(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters:")[1][:250] if "PartitionFilters:" in plan else ""
+    assert "list_id" in pf, f"probe filter not pushed to partition pruning: {plan[:800]}"
+
+    # runtime proof: the files actually read are only the probed lists'
+    cents = _ivf_centroids(SF_DIR)
+    probes = set(probe_lists(cents[0], cents, IVF_PROBES))
+    path = Q._ivf_written_layout(spark, SF_DIR)
+    scanned = (
+        spark.read.parquet(path)
+        .filter(F.col("list_id").isin(list(probes)))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    )
+    seen = {int(re.search(r"list_id=(\d+)", r["f"]).group(1)) for r in scanned}
+    assert seen == probes and len(seen) == IVF_PROBES < IVF_K
+
+    # and the result rows equal the unpartitioned q_ann_ivf's
+    assert df.collect() == Q.q_ann_ivf(spark, SF_DIR).collect()
+
+
+def test_adaptive_cell_split_plan_and_bound(spark):
+    """r6 north_rule operator: adaptive cell splitting must (a) never
+    shuffle the fact table — hot-cell sets come back as BROADCAST
+    joins, the only exchanges carry (cell, count) aggregates — and
+    (b) actually bound the result: every final cell below the finest
+    level holds ≤ max_rows_per_cell rows, and hot coarse cells are
+    dispersed."""
+    from pyspark.sql import functions as F
+
+    from cosmospark.assign import adaptive_cell_split
+    from cosmospark.queries import ACS_MAX_ROWS, ACS_RESOLUTIONS, _skew_pts_df
+
+    pts = _skew_pts_df(spark)
+    out = adaptive_cell_split(
+        pts, resolutions=ACS_RESOLUTIONS, max_rows_per_cell=ACS_MAX_ROWS
+    )
+    plan = _plan(out)
+    # every hot-cell join broadcasts (the level-2 count subtree replays
+    # the level-1 join inside its scope filter, so the count can exceed
+    # levels-1); no sort-merge/shuffled-hash join anywhere
+    assert plan.count("BroadcastHashJoin") >= len(ACS_RESOLUTIONS) - 1
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # the fact side reaches the join without an Exchange: every Exchange
+    # in the plan belongs to a hot-cell COUNT aggregation subtree (its
+    # input is a partial_count HashAggregate), not the point stream
+    import re
+
+    for frag in plan.split("Exchange")[1:]:
+        # the exchange's child is printed after it; partial-agg subtrees
+        # carry partial_count in the fragment head
+        assert "count" in frag[:400], f"non-aggregate exchange: {frag[:200]}"
+
+    counts = out.groupBy("res", "cell").count().collect()
+    finest = ACS_RESOLUTIONS[-1]
+    for r in counts:
+        if r["res"] != finest:
+            assert r["count"] <= ACS_MAX_ROWS, (r["res"], r["cell"], r["count"])
+    # the megacity really split: multiple finest-level cells exist
+    assert sum(1 for r in counts if r["res"] == finest) > 10
+    # and cold regions stayed coarse
+    assert sum(1 for r in counts if r["res"] == ACS_RESOLUTIONS[0]) > 100
