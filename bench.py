@@ -275,6 +275,31 @@ def main() -> None:
     skew_rows, _ = _timed("pip_skewed_salted_rollup", _skew_rollup)
     skew_top_key_frac = round(skew_rows["mx"] / skew_rows["t"], 3)
 
+    # --- adaptive cell splitting on the same skewed table (r6): hot
+    # megacity cells descend 9→13→17 until ≤ max_rows_per_cell; the
+    # fact table never shuffles (per-level (cell,count) partial aggs +
+    # broadcast hot sets). Reports the realized bound alongside wall.
+    from cosmospark.assign import adaptive_cell_split
+
+    def _acs():
+        out = adaptive_cell_split(
+            pts_skew, resolutions=(9, 13, 17), max_rows_per_cell=50_000
+        )
+        return (
+            out.groupBy("res", "cell")
+            .count()
+            .agg(
+                F.count("*").alias("cells"),
+                F.max("count").alias("mx"),
+                F.sum("count").alias("t"),
+            )
+            .collect()[0]
+        )
+
+    acs_row, acs_sec = _timed("adaptive_cell_split", _acs)
+    acs_rows_per_sec = round(n_pip / acs_sec) if acs_sec > 0 else 0
+    acs_max_cell_frac = round(acs_row["mx"] / acs_row["t"], 4)
+
     # --- representative image pipeline (decode+invariants+phash+PIP) -------
     # v2: row-group-sized files. The v1 cache wrote 4 files x ONE row
     # group each; parquet splits at row-group granularity, so the
@@ -362,6 +387,7 @@ def main() -> None:
         "dedup_exact",
         "substring_dedup",
         "ngram_jaccard",
+        "dedup_keep_best",
         "doc_fingerprint",
         "gopher_repetition",
         "ann_brute_force",
@@ -559,6 +585,9 @@ def main() -> None:
         "raster_skew_salted_images_per_sec": raster_skew_images_per_sec,
         "raster_skew_assigned_rows": n_srast,
         "raster_assigned_rows": n_rast,
+        "adaptive_split_rows_per_sec": acs_rows_per_sec,
+        "adaptive_split_cells": int(acs_row["cells"]),
+        "adaptive_split_max_cell_frac": acs_max_cell_frac,
         "semdedup_k": semdedup_k,
         "semdedup_max_cluster_frac": semdedup_max_frac,
         "host_probe_sec_start": host_probe_start,
