@@ -17,7 +17,7 @@ import os
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from cosmospark import cells
+from cosmospark import cells, s2
 from cosmospark.assign import assign_zones, encode_points, rollup_cells
 from cosmospark.fixtures import four_squares_zones, lux_world
 from cosmospark.hierarchy import build_hierarchy, find_inclusions, with_bbox_and_area
@@ -472,6 +472,75 @@ def sql_geo_multires_rollup():
         + f", cells3 AS ({union}) "
         "SELECT res, zone_type, COUNT(*) AS n FROM cells3 "
         "GROUP BY res, zone_type ORDER BY res, zone_type"
+    )
+
+
+# -- S2-style spherical cells (north-star "H3 cells with S2 fallback").
+# Global deterministic point grid: exercises all 6 cube faces, the
+# polar caps the planar quadkey distorts, and the antimeridian.
+# Integer-modulo arithmetic then exact /100 division — identical in
+# both engines; `range(n) t(i)` is valid Spark SQL and DuckDB.
+S2_PTS_SQL = (
+    f"SELECT i AS pid, -180.0 + (i * 7919 % 36000) / 100.0 AS lon, "
+    f"-90.0 + (i * 104729 % 18000) / 100.0 AS lat FROM range({N_PTS}) t(i)"
+)
+S2_RES = 9
+
+
+def q_geo_s2_encode(spark, sf_dir):
+    """S2-style cell encode (cube face + quadratic ST + Hilbert) as one
+    generated SQL chain — the SAME text the DuckDB oracle runs, so the
+    driver's hash compare exercises the full face/ST/Hilbert arithmetic
+    cross-engine. Plan: one WholeStageCodegen span over the res-level
+    projection stack (state is the only chained value — linear, not
+    exponential, inlining), then a single count exchange."""
+    q = s2.sql_s2_encode_from(S2_PTS_SQL, "lon", "lat", S2_RES)
+    return spark.sql(
+        f"SELECT cell, COUNT(*) AS n FROM ({q}) GROUP BY cell ORDER BY cell"
+    )
+
+
+def sql_geo_s2_encode():
+    q = s2.sql_s2_encode_from(S2_PTS_SQL, "lon", "lat", S2_RES)
+    return f"SELECT cell, COUNT(*) AS n FROM ({q}) GROUP BY cell ORDER BY cell"
+
+
+def q_geo_s2_rollup(spark, sf_dir):
+    """Multi-resolution S2 rollup via the prefix property: encode ONCE
+    at res 9, aggregate, then derive res 6 and 4 by integer shift over
+    the already-aggregated table (the rollup_cells pattern — the fact
+    side is scanned exactly once). The oracle re-encodes each res
+    directly from lon/lat, so a green hash is a cross-engine proof that
+    Hilbert truncation == coarser encode (cell >> 2k nests through the
+    face bits too)."""
+    q = s2.sql_s2_encode_from(S2_PTS_SQL, "lon", "lat", S2_RES)
+    base = (
+        spark.sql(f"SELECT cell, COUNT(*) AS n FROM ({q}) GROUP BY cell")
+        .withColumn("res", F.lit(S2_RES))
+        .localCheckpoint(eager=True)  # re-read by each coarser reduce + union
+    )
+    out, prev, finest = base, base, S2_RES
+    for coarser in (6, 4):
+        prev = (
+            prev.withColumn("cell", F.shiftright(F.col("cell"), 2 * (finest - coarser)))
+            .groupBy("cell")
+            .agg(F.sum("n").alias("n"))
+            .withColumn("res", F.lit(coarser))
+        )
+        finest = coarser
+        out = out.unionByName(prev)
+    return out.select("res", "cell", "n").orderBy("res", "cell")
+
+
+def sql_geo_s2_rollup():
+    parts = []
+    for res in (4, 6, S2_RES):
+        q = s2.sql_s2_encode_from(S2_PTS_SQL, "lon", "lat", res)
+        parts.append(f"SELECT {res} AS res, cell FROM ({q})")
+    union = " UNION ALL ".join(parts)
+    return (
+        f"SELECT res, cell, COUNT(*) AS n FROM ({union}) t "
+        "GROUP BY res, cell ORDER BY res, cell"
     )
 
 
@@ -4153,7 +4222,7 @@ ORDER BY video_id, frame_idx
 # registry
 
 DRIVER_SAMPLE_CAP = 50  # external correctness gate samples this many, front-first
-REGISTRY_TOTAL = 71  # asserted == len(queries()) in test_oracle_parity (ADVICE r5)
+REGISTRY_TOTAL = 73  # asserted == len(queries()) in test_oracle_parity (ADVICE r5)
 
 
 def queries() -> dict:
@@ -4179,6 +4248,10 @@ def queries() -> dict:
         #    char-mass outputs + conditional splittability guard.
         #    simhash/minhash: conditional splittability guard.
         #    tile encode/pyramid: polar-lat clamp in the SQL oracles.
+        #    geo_s2_encode / geo_s2_rollup: new (S2-style spherical
+        #    cells — cube face + quadratic ST + Hilbert).
+        "geo_s2_encode": q_geo_s2_encode,
+        "geo_s2_rollup": q_geo_s2_rollup,
         "geo_adaptive_cells": q_geo_adaptive_cells,
         "dedup_keep_best": q_dedup_keep_best,
         "ann_ivf_written": q_ann_ivf_written,
@@ -4287,6 +4360,8 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "geo_pip_assign": sql_geo_pip_assign(),
         "geo_zone_counts": sql_geo_zone_counts(),
         "geo_cell_encode": sql_geo_cell_encode(),
+        "geo_s2_encode": sql_geo_s2_encode(),
+        "geo_s2_rollup": sql_geo_s2_rollup(),
         "geo_multires_rollup": sql_geo_multires_rollup(),
         "geo_parent_hierarchy": sql_geo_parent_hierarchy(),
         "geo_tile_encode": SQL_TILE,

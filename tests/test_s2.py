@@ -1,0 +1,146 @@
+"""S2-style spherical cells: cube face + quadratic ST + Hilbert.
+
+Validates the 4-state Hilbert machine against the classic
+rotate-and-swap loop, the prefix-nesting property the rollup queries
+rely on, the face/UV inverse tables, and numpy↔SQL parity of the
+generated encode chain (the Spark↔DuckDB leg runs in the
+test_oracle_parity sweep via geo_s2_encode / geo_s2_rollup).
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from cosmospark import s2
+
+
+def _classic_xy2d(n, x, y):
+    d, s = 0, n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_state_machine_matches_classic_loop():
+    res = 4
+    n = 1 << res
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n))
+    xs, ys = xs.ravel(), ys.ravel()
+    got = s2.hilbert_xy2d(xs, ys, res)
+    want = np.array([_classic_xy2d(n, int(a), int(b)) for a, b in zip(xs, ys)])
+    np.testing.assert_array_equal(got, want)
+    # d covers 0..n^2-1 exactly once (it's a space-filling bijection)
+    assert sorted(got.tolist()) == list(range(n * n))
+
+
+def test_hilbert_adjacency():
+    # consecutive Hilbert indices are grid neighbours (the locality
+    # property that makes the id a good storage sort key)
+    res = 5
+    d = np.arange(1 << (2 * res))
+    i, j = s2.hilbert_d2xy(d, res)
+    step = np.abs(np.diff(i)) + np.abs(np.diff(j))
+    assert (step == 1).all()
+
+
+def test_hilbert_roundtrip_and_nesting():
+    rng = np.random.default_rng(3)
+    i = rng.integers(0, 1 << 12, 4000)
+    j = rng.integers(0, 1 << 12, 4000)
+    d = s2.hilbert_xy2d(i, j, 12)
+    ii, jj = s2.hilbert_d2xy(d, 12)
+    np.testing.assert_array_equal(ii, i)
+    np.testing.assert_array_equal(jj, j)
+    # truncating 2 bits == encoding the parent grid cell
+    np.testing.assert_array_equal(d >> 2, s2.hilbert_xy2d(i >> 1, j >> 1, 11))
+
+
+def test_s2_encode_properties():
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(-180, 180, 30000)
+    lat = rng.uniform(-90, 90, 30000)
+    c9 = s2.s2_encode(lon, lat, 9)
+    # all six faces reached on a global sample
+    assert set((c9 >> 18).tolist()) == set(range(6))
+    # prefix nesting through the face bits (exact: floor on dyadic grids)
+    np.testing.assert_array_equal(c9 >> 2, s2.s2_encode(lon, lat, 8))
+    np.testing.assert_array_equal(s2.s2_parent(c9, 3), s2.s2_encode(lon, lat, 6))
+    # id range: face < 6, hilbert < 4^res
+    assert int(c9.max()) < 6 << 18
+    assert int(c9.min()) >= 0
+
+
+def test_s2_decode_center_reencodes_to_same_cell():
+    rng = np.random.default_rng(5)
+    lon = rng.uniform(-180, 180, 20000)
+    lat = rng.uniform(-90, 90, 20000)
+    for res in (4, 9):
+        c = s2.s2_encode(lon, lat, res)
+        dl, dt = s2.s2_decode(c, res)
+        np.testing.assert_array_equal(s2.s2_encode(dl, dt, res), c)
+
+
+def test_s2_poles_and_antimeridian():
+    # the planar quadkey's pathological inputs are ordinary cells here
+    lon = np.array([0.0, 0.0, 180.0, -180.0, 179.99, -179.99])
+    lat = np.array([90.0, -90.0, 0.0, 0.0, 89.9, -89.9])
+    c = s2.s2_encode(lon, lat, 9)
+    assert (c >> 18)[0] == 2 and (c >> 18)[1] == 5  # polar caps on ±z faces
+    # lon ±180 is the same meridian: same face (the meridian itself is a
+    # cell boundary, so the two FP signs of sin(±pi) land in the two
+    # boundary-adjacent cells — same face, grid neighbours)
+    assert (c[2] >> 18) == (c[3] >> 18) == 3
+    i2, j2 = s2.hilbert_d2xy(c[2] & ((1 << 18) - 1), 9)
+    i3, j3 = s2.hilbert_d2xy(c[3] & ((1 << 18) - 1), 9)
+    assert abs(int(i2) - int(i3)) + abs(int(j2) - int(j3)) == 1
+
+    # area evenness: the quadratic ST transform keeps a polar cell
+    # within ~2.1x of an equatorial one — sample counts per face on a
+    # uniform sphere sample should be near-equal
+    rng = np.random.default_rng(1)
+    z = rng.uniform(-1, 1, 60000)
+    phi = rng.uniform(-np.pi, np.pi, 60000)
+    lat_s = np.degrees(np.arcsin(z))
+    lon_s = np.degrees(phi)
+    faces = s2.s2_encode(lon_s, lat_s, 9) >> 18
+    counts = np.bincount(faces, minlength=6)
+    assert counts.min() > 0.8 * counts.max()
+
+
+def test_sql_chain_matches_numpy_in_duckdb():
+    rng = np.random.default_rng(17)
+    lon = rng.uniform(-180, 180, 20000)
+    lat = rng.uniform(-90, 90, 20000)
+    con = duckdb.connect()
+    con.register("pts", pd.DataFrame({"pid": np.arange(len(lon)), "lon": lon, "lat": lat}))
+    for res in (1, 4, 9):
+        q = s2.sql_s2_encode_from("SELECT * FROM pts", "lon", "lat", res)
+        got = con.execute(f"SELECT cell FROM ({q}) ORDER BY pid").fetchnumpy()["cell"]
+        np.testing.assert_array_equal(got, s2.s2_encode(lon, lat, res))
+
+
+def test_sql_chain_matches_numpy_in_spark(spark):
+    n = 8000
+    pts = (
+        f"SELECT i AS pid, -180.0 + (i * 7919 % 36000) / 100.0 AS lon, "
+        f"-90.0 + (i * 104729 % 18000) / 100.0 AS lat FROM range({n}) t(i)"
+    )
+    q = s2.sql_s2_encode_from(pts, "lon", "lat", 9)
+    pdf = spark.sql(f"SELECT pid, lon, lat, cell FROM ({q}) ORDER BY pid").toPandas()
+    np.testing.assert_array_equal(
+        pdf["cell"].to_numpy(), s2.s2_encode(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), 9)
+    )
+    # plan shape: the res-layer projection stack stays in whole-stage
+    # codegen with no exchange before the (cosmetic) output sort
+    sdf = spark.sql(f"SELECT pid, cell FROM ({q})")
+    plan = sdf._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "InMemoryTableScan" not in plan and "Python" not in plan
