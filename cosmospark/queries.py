@@ -4123,6 +4123,70 @@ FROM r WHERE rn = 1 ORDER BY cluster
 """
 
 
+# per-language sampling rates in basis points of 10000 (language
+# rebalancing — the standard curation move: downsample the dominant
+# languages, keep the rare ones whole)
+_SAMPLE_RATES_BP = {"en": 2500, "de": 5000, "es": 7500, "fr": 10000, "zh": 1250}
+_SAMPLE_DEFAULT_BP = 5000
+_SAMPLE_MOD = 10000
+
+
+def _sample_rate_case(lang_expr: str) -> str:
+    whens = " ".join(
+        f"WHEN '{lang}' THEN {bp}" for lang, bp in sorted(_SAMPLE_RATES_BP.items())
+    )
+    return f"CASE {lang_expr} {whens} ELSE {_SAMPLE_DEFAULT_BP} END"
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic hash-Bernoulli STRATIFIED sampling — reproducible
+    dataset curation at corpus scale. Keep row iff
+    pmod(xxhash64(doc_id), 10000) < rate_bp(lang): a pure map-side
+    filter (zero shuffle except the cosmetic output sort), exact and
+    rerun-stable (no RNG state, no sample() nondeterminism), with
+    per-stratum rates so dominant languages downsample while rare ones
+    survive whole. At 100 TB this is the shape that matters: no
+    repartition, no count-first pass, each executor decides locally,
+    and the same seed reproduces the same sample on any cluster layout.
+
+    DuckDB lacks xxhash64, so the oracle joins a (doc_id → hash) side
+    table computed by the validated pure-Python XXH64
+    (tests/test_xxh.py: bit-identical to Spark) and re-applies the same
+    modulo + CASE thresholds relationally."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    keep = F.pmod(F.xxhash64("doc_id"), F.lit(_SAMPLE_MOD)) < F.expr(
+        _sample_rate_case("lang")
+    )
+    return d.filter(keep).select("doc_id", "lang").orderBy("doc_id")
+
+
+def sql_stratified_sample(sf_dir: str) -> str:
+    import duckdb
+
+    from cosmospark import xxh
+
+    ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
+        ).fetchall()
+    ]
+    path = _materialize_oracle_parquet(
+        "sample_hash",
+        sf_dir,
+        # doc_id is a LongType column → Spark hashes the long path;
+        # Long() forces the same in the Python XXH64
+        {"doc_id": ids, "h": [xxh.xxhash64(xxh.Long(int(i))) for i in ids]},
+    )
+    case = _sample_rate_case("d.lang")
+    return f"""
+SELECT d.doc_id, d.lang
+FROM documents d JOIN '{path}' h USING (doc_id)
+WHERE ((h.h % {_SAMPLE_MOD}) + {_SAMPLE_MOD}) % {_SAMPLE_MOD} < {case}
+ORDER BY d.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal operators (audio / video payload columns)
 
@@ -4222,7 +4286,7 @@ ORDER BY video_id, frame_idx
 # registry
 
 DRIVER_SAMPLE_CAP = 50  # external correctness gate samples this many, front-first
-REGISTRY_TOTAL = 73  # asserted == len(queries()) in test_oracle_parity (ADVICE r5)
+REGISTRY_TOTAL = 74  # asserted == len(queries()) in test_oracle_parity (ADVICE r5)
 
 
 def queries() -> dict:
@@ -4252,6 +4316,7 @@ def queries() -> dict:
         #    cells — cube face + quadratic ST + Hilbert).
         "geo_s2_encode": q_geo_s2_encode,
         "geo_s2_rollup": q_geo_s2_rollup,
+        "stratified_sample": q_stratified_sample,
         "geo_adaptive_cells": q_geo_adaptive_cells,
         "dedup_keep_best": q_dedup_keep_best,
         "ann_ivf_written": q_ann_ivf_written,
@@ -4387,6 +4452,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "ann_ivf_written": sql_ann_ivf(sf_dir),
         "geo_adaptive_cells": sql_geo_adaptive_cells(),
         "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
+        "stratified_sample": sql_stratified_sample(sf_dir),
         "ann_pq_rerank": sql_ann_pq_rerank(sf_dir),
         "events_window": SQL_EVENTS_WINDOW,
         "lang_id": sql_lang_id(),

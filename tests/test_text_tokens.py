@@ -119,3 +119,41 @@ def test_gopher_repetition_crafted(spark, tmp_path):
     )
     ora = con.sql(sql_gopher_repetition()).df()
     pd.testing.assert_frame_equal(got, ora, check_dtype=False)
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from cosmospark.queries import (
+        _SAMPLE_MOD,
+        _SAMPLE_RATES_BP,
+        q_stratified_sample,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    got = q_stratified_sample(spark, sf).toPandas()
+    again = q_stratified_sample(spark, sf).toPandas()
+    pd.testing.assert_frame_equal(got, again)  # rerun-stable, no RNG
+
+    totals = (
+        duckdb.sql(f"SELECT lang, COUNT(*) n FROM '{sf}/documents.parquet' GROUP BY 1")
+        .df()
+        .set_index("lang")["n"]
+    )
+    kept = got.groupby("lang").size()
+    for lang, bp in _SAMPLE_RATES_BP.items():
+        rate = bp / _SAMPLE_MOD
+        frac = kept.get(lang, 0) / totals[lang]
+        # hash-Bernoulli: binomial concentration around the rate
+        assert abs(frac - rate) < 0.17, (lang, frac, rate)
+    # fr keeps everything at rate 10000/10000
+    assert kept["fr"] == totals["fr"]
+
+
+def test_stratified_sample_plan_is_map_only(spark):
+    from cosmospark.queries import q_stratified_sample
+
+    df = q_stratified_sample(spark, "/root/testdata/sf0.01")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the only Exchange is the cosmetic output sort's range partitioning
+    body = plan.split("rangepartitioning")[-1]
+    assert "Exchange" not in body
+    assert "Python" not in plan  # xxhash64 + CASE stay JVM-side
