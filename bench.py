@@ -58,6 +58,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     cpu_secs: dict[str, float] = {}
     tree_cpu_secs: dict[str, float] = {}
+    host_probes: dict[str, float] = {}
 
     # --- host probes --------------------------------------------------------
     def _host_probe() -> float:
@@ -234,6 +235,14 @@ def main() -> None:
             cpu_secs[name] = round(best_cpu, 2)
         if best_tree is not None:
             tree_cpu_secs[name] = round(best_tree, 2)
+        # Per-ENTRY host-phase context (r5 reconciliation lesson: the
+        # two suite-bracket probes were blind to a mid-suite co-tenant
+        # phase that hit exactly one query). ~0.1 s idle; multi-second
+        # readings flag that THIS entry's wall number was drawn during
+        # a contended phase — read wall alongside cpu_sec (JVM) and
+        # tree_cpu_sec (workers): flat cpu_sec + inflated tree_cpu +
+        # hot probe = host memory-lane contention, not the plan.
+        host_probes[name] = _cpu_probe(4)
         return last, best
 
     # --- headline: H3-encode + PIP assign throughput -----------------------
@@ -383,6 +392,10 @@ def main() -> None:
         "hierarchy_label",
         "geo_pip_assign",
         "geo_multires_rollup",
+        "geo_s2_rollup",
+        "geo_s2_range_scan",
+        "stratified_sample",
+        "term_stats_topk",
         "geo_parent_hierarchy",
         "dedup_exact",
         "substring_dedup",
@@ -568,6 +581,7 @@ def main() -> None:
         "queries": timings,
         "cpu_sec": cpu_secs,
         "tree_cpu_sec": tree_cpu_secs,
+        "host_cpu_probe_per_query": host_probes,
         "sf": sf_dir,
         "cpus": cpus,
         "pip_rows": n_pip,

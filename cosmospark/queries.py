@@ -4138,6 +4138,168 @@ def _sample_rate_case(lang_expr: str) -> str:
     return f"CASE {lang_expr} {whens} ELSE {_SAMPLE_DEFAULT_BP} END"
 
 
+# -- S2 Hilbert-sorted written layout: spatial range scans as IO pruning.
+_S2_STORE_DIR = "/tmp/cosmospark_s2_store"
+_S2_STORE_N = 200_000
+_S2_STORE_RES = 12
+_S2_STORE_VERSION = "v1"  # bump to invalidate the written layout
+_S2_STORE_PTS_SQL = (
+    f"SELECT i AS pid, -180.0 + (i * 7919 % 36000) / 100.0 AS lon, "
+    f"-90.0 + (i * 104729 % 18000) / 100.0 AS lat FROM range({_S2_STORE_N}) t(i)"
+)
+
+
+def _s2_sorted_layout(spark) -> str:
+    """Materialize (once per _S2_STORE_VERSION) the global point set
+    hive-partitioned by cube FACE and Hilbert-sorted by cell within
+    each file, with small parquet row groups. This is the storage shape
+    the s2.py docstring promises: face partitions give Catalyst
+    PARTITION pruning, and because consecutive Hilbert ids are spatial
+    neighbours, a spatial range maps to a short contiguous id range →
+    few overlapping row groups (min/max stats skip the rest). The
+    existing sort order (face, cell) satisfies the partition-write's
+    required ordering, so the write plans NO extra sort."""
+    path = os.path.join(_S2_STORE_DIR, _S2_STORE_VERSION)
+    stamp = os.path.join(path, "_VERSION")
+    try:
+        fresh = open(stamp).read() == _S2_STORE_VERSION
+    except OSError:
+        fresh = False
+    if not fresh:
+        q = s2.sql_s2_encode_from(
+            _S2_STORE_PTS_SQL, "lon", "lat", _S2_STORE_RES
+        )
+        pts = spark.sql(f"SELECT pid, lon, lat, cell FROM ({q})").withColumn(
+            "face", F.shiftright(F.col("cell"), 2 * _S2_STORE_RES).cast("int")
+        )
+        (
+            pts.repartition(6, "face")
+            .sortWithinPartitions("face", "cell")
+            .write.partitionBy("face")
+            .option("parquet.block.size", 65536)  # many row groups/file
+            .mode("overwrite")
+            .parquet(path)
+        )
+        with open(stamp, "w") as fh:
+            fh.write(_S2_STORE_VERSION)
+    return path
+
+
+def _s2_scan_range() -> tuple[int, int, int]:
+    """(face, lo, hi): the res-4 S2 parent containing (10°E, 10°N),
+    expanded to its res-12 descendant id range (face bits included —
+    prefix ids nest, so the subtree IS one contiguous range) — computed
+    from the same kernel the store encoder uses, embedded as literals
+    in BOTH engines' queries."""
+    p4 = int(s2.s2_encode(np.array([10.0]), np.array([10.0]), 4)[0])
+    shift = 2 * (_S2_STORE_RES - 4)
+    return p4 >> 8, p4 << shift, (p4 + 1) << shift
+
+
+def q_geo_s2_range_scan(spark, sf_dir):
+    """Spatial range query over the Hilbert-sorted written layout: all
+    points in one res-4 S2 cell, rolled up to res-8 subcells. The
+    filter reaches storage twice over — ``PartitionFilters: [face = f]``
+    prunes 5 of 6 face directories without opening them, and the cell
+    range lands in ``PushedFilters`` where parquet row-group min/max
+    stats skip everything outside the (contiguous, because Hilbert)
+    id range — tests/test_s2.py asserts ≤ a third of the face's row
+    groups overlap the range. At 10¹² rows this is the difference
+    between a full scan and reading ~(selectivity) of one face."""
+    face, lo, hi = _s2_scan_range()
+    pts = spark.read.parquet(_s2_sorted_layout(spark))
+    return (
+        pts.filter(
+            (F.col("face") == face) & (F.col("cell") >= lo) & (F.col("cell") < hi)
+        )
+        .groupBy(F.shiftright(F.col("cell"), 2 * (_S2_STORE_RES - 8)).alias("cell_r8"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("cell_r8")
+    )
+
+
+def sql_geo_s2_range_scan() -> str:
+    """Oracle recomputes from the SOURCE point SQL (no dependence on
+    the written layout), so a green hash additionally proves the
+    write→read roundtrip dropped/garbled nothing.
+
+    The encode MUST sit behind ``AS MATERIALIZED``: without it DuckDB
+    inlines the CTE and pushes ``cell >= lo`` down through all
+    ``res`` projection layers, substituting the full Hilbert chain
+    into the predicate at every step — expression size grows
+    exponentially and the optimizer never returns (measured: 0.11 s
+    encode-only vs >120 s inlined-with-filter; Spark's
+    PushDownPredicate exhibits the IDENTICAL blowup, which is why the
+    Spark side filters the WRITTEN layout's plain column instead)."""
+    _, lo, hi = _s2_scan_range()
+    q = s2.sql_s2_encode_from(_S2_STORE_PTS_SQL, "lon", "lat", _S2_STORE_RES)
+    return f"""
+WITH enc AS MATERIALIZED (SELECT cell FROM ({q}))
+SELECT cell >> {2 * (_S2_STORE_RES - 8)} AS cell_r8, COUNT(*) AS n
+FROM enc WHERE cell >= {lo} AND cell < {hi}
+GROUP BY 1 ORDER BY cell_r8
+"""
+
+
+_TERM_TOPK = 3
+
+
+def q_term_stats_topk(spark, sf_dir):
+    """Corpus term statistics — per-document top-k terms with document
+    frequency (the tf/df table behind tf-idf, BM25, stopword discovery,
+    vocab pruning). Two aggregation stages, both over ALREADY-REDUCED
+    data: (doc_id, term, tf) from one explode+groupBy (map-side combine
+    absorbs the token fan-out before the exchange), then df as a
+    groupBy over that aggregate (vocabulary-sized, tiny next to the
+    corpus), joined back on the term key — two aggregate-sized tables,
+    never the raw token stream. Ranking is INTEGER-exact (tf DESC, df
+    ASC = rarer-first, term ASC) so cross-engine order never hinges on
+    a float idf; tf and df are emitted so callers compute any idf
+    flavor downstream.
+
+    At 100 TB: the token explode never materializes through a shuffle
+    (partial agg collapses it per task), the df side is vocabulary-
+    bounded, and the final window partitions by doc_id — no skew (a
+    document has bounded distinct terms)."""
+    from pyspark.sql.window import Window
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(df_tbl, "term")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TERM_TOPK)
+        .select("doc_id", "term", "tf", "df", "rn")
+        .orderBy("doc_id", "rn")
+    )
+
+
+SQL_TERM_STATS = f"""
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) d,
+       UNNEST(d.ws) AS t(term)
+  WHERE t.term != ''),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+r AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, dft.df ASC, tf.term ASC) AS rn
+  FROM tf JOIN dft USING (term))
+SELECT doc_id, term, tf, df, rn FROM r WHERE rn <= {_TERM_TOPK}
+ORDER BY doc_id, rn
+"""
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic hash-Bernoulli STRATIFIED sampling — reproducible
     dataset curation at corpus scale. Keep row iff
@@ -4286,7 +4448,7 @@ ORDER BY video_id, frame_idx
 # registry
 
 DRIVER_SAMPLE_CAP = 50  # external correctness gate samples this many, front-first
-REGISTRY_TOTAL = 74  # asserted == len(queries()) in test_oracle_parity (ADVICE r5)
+REGISTRY_TOTAL = 76  # asserted == len(queries()) in test_oracle_parity (ADVICE r5)
 
 
 def queries() -> dict:
@@ -4317,6 +4479,8 @@ def queries() -> dict:
         "geo_s2_encode": q_geo_s2_encode,
         "geo_s2_rollup": q_geo_s2_rollup,
         "stratified_sample": q_stratified_sample,
+        "term_stats_topk": q_term_stats_topk,
+        "geo_s2_range_scan": q_geo_s2_range_scan,
         "geo_adaptive_cells": q_geo_adaptive_cells,
         "dedup_keep_best": q_dedup_keep_best,
         "ann_ivf_written": q_ann_ivf_written,
@@ -4453,6 +4617,8 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "geo_adaptive_cells": sql_geo_adaptive_cells(),
         "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
         "stratified_sample": sql_stratified_sample(sf_dir),
+        "term_stats_topk": SQL_TERM_STATS,
+        "geo_s2_range_scan": sql_geo_s2_range_scan(),
         "ann_pq_rerank": sql_ann_pq_rerank(sf_dir),
         "events_window": SQL_EVENTS_WINDOW,
         "lang_id": sql_lang_id(),

@@ -11,6 +11,7 @@ import duckdb
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from cosmospark import s2
 
@@ -144,3 +145,76 @@ def test_sql_chain_matches_numpy_in_spark(spark):
     plan = sdf._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "InMemoryTableScan" not in plan and "Python" not in plan
+
+
+def test_s2_range_scan_pruning(spark):
+    """The written Hilbert-sorted layout: partition pruning on face,
+    pushed range filter on cell, and few overlapping row groups."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from cosmospark.queries import (
+        _S2_STORE_RES,
+        _s2_scan_range,
+        _s2_sorted_layout,
+        q_geo_s2_range_scan,
+    )
+
+    df = q_geo_s2_range_scan(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "face" in plan.split("PartitionFilters")[1][:120]
+    pushed = plan.split("PushedFilters")[1][:160]
+    assert "GreaterThanOrEqual(cell" in pushed and "LessThan(cell" in pushed
+
+    # row-group min/max stats: the Hilbert sort makes the target range
+    # contiguous, so only a small fraction of the face's row groups
+    # overlap [lo, hi)
+    face, lo, hi = _s2_scan_range()
+    path = _s2_sorted_layout(spark)
+    files = glob.glob(f"{path}/face={face}/*.parquet")
+    assert files
+    total = overlapping = 0
+    cover_rows = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        col = md.schema.to_arrow_schema().names.index("cell")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col).statistics
+            total += 1
+            if st.min < hi and st.max >= lo:
+                overlapping += 1
+                cover_rows += md.row_group(rg).num_rows
+    assert total >= 8, f"want many row groups, got {total}"
+    assert overlapping / total <= 1 / 3, (overlapping, total)
+    # sanity: the overlapping groups actually cover the result rows
+    n_hits = df.agg(F.sum("n")).collect()[0][0]
+    assert 0 < n_hits <= cover_rows
+
+
+def test_s2_range_scan_matches_unpruned(spark):
+    """Same answer as a brute numpy re-encode of the source points (no
+    written layout, no pruning, no Spark) — the IO path changes, the
+    relation doesn't. Numpy (not a Spark SQL filter over the encode
+    chain) on purpose: pushing `cell >= lo` through the res-12
+    projection stack blows up PushDownPredicate exponentially in BOTH
+    engines (see sql_geo_s2_range_scan's docstring)."""
+    from cosmospark.queries import (
+        _S2_STORE_N,
+        _S2_STORE_RES,
+        _s2_scan_range,
+        q_geo_s2_range_scan,
+    )
+    from cosmospark import s2 as s2mod
+
+    _, lo, hi = _s2_scan_range()
+    i = np.arange(_S2_STORE_N, dtype=np.int64)
+    lon = -180.0 + (i * 7919 % 36000) / 100.0
+    lat = -90.0 + (i * 104729 % 18000) / 100.0
+    cell = s2mod.s2_encode(lon, lat, _S2_STORE_RES)
+    keep = cell[(cell >= lo) & (cell < hi)]
+    r8 = keep >> (2 * (_S2_STORE_RES - 8))
+    ids, counts = np.unique(r8, return_counts=True)
+    brute = pd.DataFrame({"cell_r8": ids, "n": counts})
+    got = q_geo_s2_range_scan(spark, "/root/testdata/sf0.001").toPandas()
+    pd.testing.assert_frame_equal(got, brute, check_dtype=False)
