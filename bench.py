@@ -399,6 +399,9 @@ def main() -> None:
         "geo_parent_hierarchy",
         "dedup_exact",
         "substring_dedup",
+        "decontaminate",
+        "sessionize",
+        "phash_zone_neardup",
         "ngram_jaccard",
         "dedup_keep_best",
         "doc_fingerprint",

@@ -4282,6 +4282,279 @@ def q_term_stats_topk(spark, sf_dir):
     )
 
 
+# Benchmark decontamination: 13-token grams, canonical in LLM data
+# pipelines (GPT-3 App. C / PaLM / Llama use 8-13-gram test-set overlap
+# removal). The "benchmark" split is deterministic (doc_id % 5 == 0) so
+# both engines derive it identically with no side channel.
+DECON_W = 13
+DECON_BENCH_MOD = 5
+
+
+def q_decontaminate(spark, sf_dir):
+    """Test-set DECONTAMINATION scan: for every corpus document, count
+    the exact 13-token grams it shares with any benchmark document.
+    Output per contaminated doc (integers only, oracle-parity rule):
+    distinct contaminated grams, contaminated window positions, total
+    windows — callers threshold the ratio to drop or redact.
+
+    100 TB shape — the corpus side never shuffles:
+      stage 1: benchmark grams (tiny by definition: eval sets are
+        O(10^5) docs vs O(10^9) corpus) reduce to a DISTINCT 8-byte
+        xxhash64 set, BROADCAST to every executor; the corpus explodes
+        to windows and probes the set map-side (left_semi against the
+        broadcast), discarding ~everything locally. Same role as a
+        bloom prefilter but exact on the hash (bloom_filter_agg is not
+        SQL-exposed in Spark 4.1) with zero false-negative risk.
+      stage 2: survivors (the contaminated sliver) re-verify gram TEXT
+        equality against the broadcast (hash, gram) benchmark table, so
+        a 64-bit collision cannot fabricate contamination — the
+        substring_dedup pass-2 discipline (queries.py q_substring_dedup).
+      The only exchange is the final per-doc aggregate over verified
+      hits, O(contamination) not O(corpus)."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= DECON_W)
+    )
+    wins = d.select(
+        "doc_id",
+        (F.size("t") - F.lit(DECON_W - 1)).cast("long").alias("n_grams"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(t) - {DECON_W}),"
+                f" i -> array_join(slice(t, i + 1, {DECON_W}), ' '))"
+            )
+        ).alias("w"),
+    )
+    bench = wins.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+    corpus = wins.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
+    bench_h = bench.select(F.xxhash64("w").alias("h")).distinct()
+    cand = corpus.withColumn("h", F.xxhash64("w")).join(
+        F.broadcast(bench_h), "h", "left_semi"
+    )
+    bench_hw = bench.select(F.xxhash64("w").alias("h"), "w").distinct()
+    ver = cand.join(F.broadcast(bench_hw), ["h", "w"], "left_semi")
+    return (
+        ver.groupBy("doc_id")
+        .agg(
+            F.count_distinct("w").alias("n_bad_grams"),
+            F.count("*").alias("n_bad_positions"),
+            F.max("n_grams").alias("n_grams"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SESSION_GAP_S = 1800  # 30-min inactivity gap, the classic web default
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based SESSIONIZATION of the events stream: a user's events
+    split into sessions wherever >30 min of inactivity separates
+    consecutive events (lag + conditional flag + running sum — the
+    gaps-and-islands pattern q_substring_dedup's span merge also uses).
+    Per session: event count, start/end epoch seconds, duration.
+
+    Both engines compute gaps on FLOORED epoch seconds (Spark
+    unix_timestamp truncates; the oracle floors explicitly) so boundary
+    decisions are integer-exact. Ordering ties on equal floored seconds
+    cannot change the result: session splits depend only on the sorted
+    VALUE sequence, and outputs are per-session aggregates.
+
+    At 100 TB: exactly ONE exchange, on user_id (any per-user order
+    operation needs it); both windows and the final groupBy reuse that
+    partitioning (no second shuffle — plan-tested), and per-user event
+    counts bound the window partition (no whale keys in event data
+    where users are organic)."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("es")
+    )
+    w = Window.partitionBy("user_id").orderBy("es")
+    flagged = e.withColumn(
+        "ni",
+        F.when(
+            F.col("es") - F.lag("es").over(w) > SESSION_GAP_S, 1
+        ).otherwise(0)
+        + F.when(F.lag("es").over(w).isNull(), 1).otherwise(0),
+    ).withColumn(
+        "session_idx",
+        F.sum("ni").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("es").alias("start_es"),
+            F.max("es").alias("end_es"),
+        )
+        .withColumn("duration_s", F.col("end_es") - F.col("start_es"))
+        .orderBy("user_id", "session_idx")
+    )
+
+
+SQL_SESSIONIZE = f"""
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+),
+flagged AS (
+  SELECT user_id, es,
+         CASE WHEN lag(es) OVER w IS NULL
+                   OR es - lag(es) OVER w > {SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS ni
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es)
+),
+sess AS (
+  SELECT user_id, es,
+         SUM(ni) OVER (PARTITION BY user_id ORDER BY es
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_idx
+  FROM flagged
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       COUNT(*) AS n_events,
+       MIN(es) AS start_es, MAX(es) AS end_es,
+       MAX(es) - MIN(es) AS duration_s
+FROM sess GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx
+"""
+
+
+def q_phash_zone_neardup(spark, sf_dir):
+    """ZONE-CONSTRAINED image near-dup — the geo×image composition as a
+    dedup operator: street-imagery pipelines dedupe per region because
+    cross-region pairs are false positives by construction (two plazas
+    can share a phash) and because the constraint collapses the
+    candidate space. Broadcast-PIP assigns each image its zone
+    (zero-shuffle fact pass), then the q_phash_neardup pigeonhole bands
+    join keyed on (zone_id, band, bits) — the zone key strictly
+    partitions the candidate space, so at 10⁹ images the join's bucket
+    sizes scale with the densest ZONE, not the corpus, and the exact
+    ham <= 8 verification keeps recall 1.0 within a zone
+    (9 bands / 8 errors pigeonhole). Oracle: all-pairs hamming join
+    constrained to equal assigned zone — independently re-derives both
+    the PIP assignment and the banding's recall claim."""
+    from cosmospark.ztypes import IMAGES_SCHEMA
+
+    imgs = spark.createDataFrame(_phash_fixture_rows(), schema=IMAGES_SCHEMA)
+    zones = _lux_typed_zones(spark)
+    a0 = assign_zones(imgs.select("image_id", "lon", "lat", "phash"), zones).filter(
+        F.col("zone_id") >= 0
+    )
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned("phash", off)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("bits"),
+            )
+            for i, (off, width) in enumerate(_PHASH_BANDS)
+        ]
+    )
+    banded = a0.select(
+        "image_id", "phash", "zone_id", F.explode(band_arr).alias("b")
+    ).select(
+        "image_id",
+        "phash",
+        "zone_id",
+        F.col("b.band").alias("band"),
+        F.col("b.bits").alias("bits"),
+    )
+    lhs = banded.select(
+        F.col("image_id").alias("id_a"),
+        F.col("phash").alias("pa"),
+        "zone_id",
+        "band",
+        "bits",
+    )
+    rhs = banded.select(
+        F.col("image_id").alias("id_b"),
+        F.col("phash").alias("pb"),
+        "zone_id",
+        "band",
+        "bits",
+    )
+    return (
+        lhs.join(rhs, ["zone_id", "band", "bits"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "zone_id",
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).alias("ham"),
+        )
+        .distinct()
+        .filter(F.col("ham") <= PHASH_HAM_T)
+        .orderBy("zone_id", "id_a", "id_b")
+    )
+
+
+def sql_phash_zone_neardup(sf_dir: str) -> str:
+    """Assigned-zone CTE (rectangle PIP + (rank, area, id) argmin, the
+    sql_image_zone_rollup derivation) + brute all-pairs hamming within
+    equal zones."""
+    rows = _phash_fixture_rows()
+    path = _materialize_oracle_parquet(
+        "image_zone_pts",
+        sf_dir,
+        {
+            "image_id": [r["image_id"] for r in rows],
+            "lon": [r["lon"] for r in rows],
+            "lat": [r["lat"] for r in rows],
+            "phash": [r["phash"] for r in rows],
+            "fmt": [r["fmt"] for r in rows],
+        },
+    )
+    return f"""
+WITH pts AS (SELECT * FROM '{path}'),
+zones AS (SELECT * FROM {_zones_values_sql()}),
+cand AS (
+  SELECT p.image_id, p.phash, z.id, z.rank, z.area
+  FROM pts p JOIN zones z
+    ON p.lon BETWEEN z.minx AND z.maxx AND p.lat BETWEEN z.miny AND z.maxy
+),
+ranked AS (
+  SELECT image_id, phash, id,
+         row_number() OVER (PARTITION BY image_id ORDER BY rank, area, id) AS rn
+  FROM cand
+),
+assigned AS (SELECT image_id, phash, id AS zone_id FROM ranked WHERE rn = 1)
+SELECT a.zone_id, a.image_id AS id_a, b.image_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS ham
+FROM assigned a JOIN assigned b
+  ON a.zone_id = b.zone_id AND a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_HAM_T}
+ORDER BY a.zone_id, id_a, id_b
+"""
+
+
+SQL_DECONTAMINATE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= {DECON_W}
+),
+wins AS (
+  SELECT doc_id, len(t) - {DECON_W - 1} AS n_grams,
+         array_to_string(t[i + 1 : i + {DECON_W}], ' ') AS w
+  FROM toks, UNNEST(generate_series(0, len(t) - {DECON_W})) AS g(i)
+),
+bench AS (
+  SELECT DISTINCT w FROM wins WHERE doc_id % {DECON_BENCH_MOD} = 0
+)
+SELECT doc_id,
+       COUNT(DISTINCT w) AS n_bad_grams,
+       COUNT(*) AS n_bad_positions,
+       CAST(MAX(n_grams) AS BIGINT) AS n_grams
+FROM wins
+WHERE doc_id % {DECON_BENCH_MOD} != 0 AND w IN (SELECT w FROM bench)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 SQL_TERM_STATS = f"""
 WITH toks AS (
   SELECT doc_id, t.term
@@ -4448,7 +4721,7 @@ ORDER BY video_id, frame_idx
 # registry
 
 DRIVER_SAMPLE_CAP = 50  # external correctness gate samples this many, front-first
-REGISTRY_TOTAL = 76  # asserted == len(queries()) in test_oracle_parity (ADVICE r5)
+REGISTRY_TOTAL = 79  # asserted == len(queries()) in test_oracle_parity (ADVICE r5)
 
 
 def queries() -> dict:
@@ -4481,6 +4754,9 @@ def queries() -> dict:
         "stratified_sample": q_stratified_sample,
         "term_stats_topk": q_term_stats_topk,
         "geo_s2_range_scan": q_geo_s2_range_scan,
+        "decontaminate": q_decontaminate,
+        "sessionize": q_sessionize,
+        "phash_zone_neardup": q_phash_zone_neardup,
         "geo_adaptive_cells": q_geo_adaptive_cells,
         "dedup_keep_best": q_dedup_keep_best,
         "ann_ivf_written": q_ann_ivf_written,
@@ -4619,6 +4895,9 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "stratified_sample": sql_stratified_sample(sf_dir),
         "term_stats_topk": SQL_TERM_STATS,
         "geo_s2_range_scan": sql_geo_s2_range_scan(),
+        "decontaminate": SQL_DECONTAMINATE,
+        "sessionize": SQL_SESSIONIZE,
+        "phash_zone_neardup": sql_phash_zone_neardup(sf_dir),
         "ann_pq_rerank": sql_ann_pq_rerank(sf_dir),
         "events_window": SQL_EVENTS_WINDOW,
         "lang_id": sql_lang_id(),

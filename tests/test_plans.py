@@ -192,6 +192,23 @@ def test_substring_dedup_fixed_width_pass1(spark):
     assert plan.count("LeftSemi") >= 2
 
 
+def test_decontaminate_broadcast_corpus_map_side(spark):
+    """Decontamination: the corpus side must probe the benchmark gram
+    set via BROADCAST joins (map-side, zero corpus shuffle); the only
+    hash exchanges allowed key on doc_id (the final O(contamination)
+    aggregate) or on the tiny benchmark-side distinct (h / h,w) — never
+    on corpus window text alone."""
+    import re
+
+    plan = _plan(Q.q_decontaminate(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2  # hash probe + text verify
+    assert "LeftSemi" in plan
+    for m in re.finditer(r"hashpartitioning\((\w+)#", plan):
+        assert m.group(1) in ("doc_id", "h"), (
+            f"corpus-side exchange keyed on {m.group(1)}"
+        )
+
+
 def test_doc_chunks_map_only(spark):
     """Chunking is a narrow transform: the ONLY exchange in the plan is
     the cosmetic output sort (rangepartitioning); no aggregation or
