@@ -82,12 +82,18 @@ SESSION_SCHEMA = T.StructType(
     ]
 )
 
+# Parallel arrays: one slot per PENDING (not yet watermark-final)
+# session. Multiple pending sessions per user are the norm during
+# backfill: one micro-batch can span days of event time, producing many
+# gap-separated sessions of which only the watermark-passed prefix may
+# legally emit (a later batch can still carry an event that bridges two
+# newer ones).
 _STATE_SCHEMA = T.StructType(
     [
-        T.StructField("n", T.LongType()),
-        T.StructField("start_us", T.LongType()),
-        T.StructField("end_us", T.LongType()),
-        T.StructField("cents", T.LongType()),
+        T.StructField("n", T.ArrayType(T.LongType())),
+        T.StructField("start_s", T.ArrayType(T.LongType())),
+        T.StructField("end_s", T.ArrayType(T.LongType())),
+        T.StructField("cents", T.ArrayType(T.LongType())),
     ]
 )
 
@@ -96,9 +102,20 @@ def sessionize(
     events: DataFrame, gap_minutes: int = 30, watermark: str = "2 hours"
 ) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-user
-    sessions closed after ``gap_minutes`` of event-time inactivity.
-    Emits one row per CLOSED session (timeout-driven), state = one small
-    tuple per live user — the canonical bounded-state sessionizer.
+    sessions split wherever >``gap_minutes`` of EVENT time separates
+    consecutive events — including gaps WITHIN one micro-batch (a
+    backfill/catch-up batch spans hours; the r5 version collapsed a
+    whole batch into one session, which both loses sessions and
+    diverges from the batch q_sessionize semantics). A session emits
+    exactly when the watermark proves it final: no in-flight event can
+    extend run [s, e] once wm > e + gap, because any such event has
+    ts <= e + gap < wm and is watermark-dropped. State per user =
+    the pending (not yet provably final) sessions only — bounded by
+    gap/watermark, not by history.
+
+    Equivalence contract (tested): on any input, the union of emitted
+    sessions == the batch gaps-and-islands sessionization
+    (queries.q_sessionize) on counts/bounds/cents.
 
     Timezone-correct: Arrow hands the worker pandas timestamps rendered
     in ``spark.sql.session.timeZone`` (naive), so epoch conversion
@@ -111,52 +128,87 @@ def sessionize(
         events.sparkSession.conf.get("spark.sql.session.timeZone") or "UTC"
     )
 
-    gap_us = gap_minutes * 60_000_000
+    # Gap decisions run on FLOORED epoch seconds -- the exact arithmetic
+    # queries.q_sessionize uses (Spark unix_timestamp truncates) -- so
+    # stream == batch holds even for events straddling a sub-second
+    # boundary around the gap; emitted bounds are second-resolution.
+    gap_s = gap_minutes * 60
 
-    def _ts_from_us(us: int):
+    def _ts_from_s(s: int):
         # UTC epoch µs → naive wall time in the session tz (what Spark
         # expects back for TimestampType)
         return (
-            pd.Timestamp(int(us) * 1000, tz="UTC")
+            pd.Timestamp(int(s) * 1_000_000_000, tz="UTC")
             .tz_convert(session_tz)
             .tz_localize(None)
         )
 
+    def _emit(user_id, runs):
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": user_id,
+                    "n_events": n,
+                    "session_start": _ts_from_s(s),
+                    "session_end": _ts_from_s(e),
+                    "total_cents": c,
+                }
+                for (n, s, e, c) in runs
+            ]
+        )
+
     def _fn(key, pdfs, state):
         user_id = key[0]
-        if state.hasTimedOut:
-            n, start_us, end_us, cents = state.get
-            state.remove()
-            yield pd.DataFrame(
-                [
-                    {
-                        "user_id": user_id,
-                        "n_events": n,
-                        "session_start": _ts_from_us(start_us),
-                        "session_end": _ts_from_us(end_us),
-                        "total_cents": cents,
-                    }
-                ]
+        wm_s = state.getCurrentWatermarkMs() // 1000
+        pending = []
+        if state.exists:
+            ns, ss, es, cs = state.get
+            pending = list(zip(ns, ss, es, cs))
+        items = list(pending)  # (n, start_s, end_s, cents)
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                ts = pdf["ts"]
+                if ts.dt.tz is None:
+                    ts = ts.dt.tz_localize(session_tz)
+                ts_s = (ts.astype("int64") // 1_000_000_000).to_numpy()
+                ev_cents = (
+                    (pdf["value"] * 100).round().astype("int64").to_numpy()
+                )
+                items.extend(
+                    (1, int(t), int(t), int(c))
+                    for t, c in zip(ts_s, ev_cents)
+                )
+        # gaps-and-islands over events AND previously-pending sessions
+        # (pending runs are disjoint and gap-separated among themselves,
+        # but a new event can bridge two of them)
+        items.sort(key=lambda it: it[1])
+        runs = []
+        for n, s, e, c in items:
+            if runs and s <= runs[-1][2] + gap_s:
+                pn, ps, pe, pc = runs[-1]
+                runs[-1] = (pn + n, ps, max(pe, e), pc + c)
+            else:
+                runs.append((n, s, e, c))
+        final = [r for r in runs if r[2] + gap_s < wm_s]
+        live = [r for r in runs if r[2] + gap_s >= wm_s]
+        if live:
+            state.update(
+                (
+                    [r[0] for r in live],
+                    [r[1] for r in live],
+                    [r[2] for r in live],
+                    [r[3] for r in live],
+                )
             )
-            return
-        n, start_us, end_us, cents = (state.get if state.exists else (0, None, None, 0))
-        for pdf in pdfs:
-            ts = pdf["ts"]
-            if ts.dt.tz is None:
-                ts = ts.dt.tz_localize(session_tz)
-            ts_us = (ts.astype("int64") // 1000).to_numpy()
-            add_cents = (pdf["value"] * 100).round().astype("int64").to_numpy()
-            n += len(ts_us)
-            cents += int(add_cents.sum())
-            lo, hi = int(ts_us.min()), int(ts_us.max())
-            start_us = lo if start_us is None else min(start_us, lo)
-            end_us = hi if end_us is None else max(end_us, hi)
-        state.update((n, start_us, end_us, cents))
-        # close the session gap_minutes of EVENT time after the last
-        # event (timeout fires when the watermark passes it)
-        state.setTimeoutTimestamp(end_us // 1000 + gap_minutes * 60_000)
-        return
-        yield  # pragma: no cover — generator form
+            # wake when the watermark can first finalize the oldest
+            # pending run (> current wm by construction of `live`)
+            state.setTimeoutTimestamp(
+                min(r[2] for r in live) * 1000 + gap_minutes * 60_000
+            )
+        elif state.exists:
+            state.remove()
+        if final:
+            yield _emit(user_id, final)
 
     return (
         events.withWatermark("ts", watermark)

@@ -147,6 +147,89 @@ class TestSessionize:
             if q:
                 q.stop()
 
+    def test_intra_batch_gap_splits_sessions(self, spark, tmp_path):
+        """A single micro-batch spanning >gap of event time (backfill
+        shape) must yield MULTIPLE sessions — the r5 sessionizer
+        collapsed the whole batch into one."""
+        src = str(tmp_path / "events_split")
+        os.makedirs(src)
+        q = None
+        try:
+            stream = S.read_event_stream(spark, src, max_files_per_trigger=1)
+            sess = S.sessionize(stream, gap_minutes=30, watermark="10 minutes")
+            q = S.run_to_memory(sess, "sessions_split")
+            # one batch, one user, 2h apart -> two sessions
+            _write_batch(src, 0, [
+                (1, ts(0), 1, "click", 1.0, "{}"),
+                (2, ts(120), 1, "click", 2.0, "{}"),
+            ])
+            q.processAllAvailable()
+            for i, flush_min in ((1, 100000), (2, 200000)):
+                _write_batch(src, i, [(90 + i, ts(flush_min), 9, "x", 0.0, "{}")])
+                q.processAllAvailable()
+            rows = sorted(
+                spark.sql(
+                    "SELECT * FROM sessions_split WHERE user_id = 1"
+                ).collect(),
+                key=lambda r: r["session_start"],
+            )
+            assert len(rows) == 2
+            assert [r["n_events"] for r in rows] == [1, 1]
+            assert rows[0]["session_start"] == rows[0]["session_end"] == ts(0)
+            assert rows[1]["session_start"] == ts(120)
+            assert [r["total_cents"] for r in rows] == [100, 200]
+        finally:
+            if q:
+                q.stop()
+
+    def test_stream_matches_batch_sessionize(self, spark, tmp_path):
+        """Equivalence contract: streaming sessionize over the real
+        sf0.001 events table (fed as one backfill micro-batch) emits
+        exactly the sessions the ORACLED batch q_sessionize computes —
+        same per-user counts, floored-second bounds, session count."""
+        import shutil
+
+        from cosmospark.queries import q_sessionize
+
+        batch = {
+            (r["user_id"], r["start_es"], r["end_es"], r["n_events"])
+            for r in q_sessionize(spark, "/root/testdata/sf0.001").collect()
+        }
+        src = str(tmp_path / "events_eq")
+        os.makedirs(src)
+        shutil.copy(
+            "/root/testdata/sf0.001/events.parquet",
+            os.path.join(src, "batch-000.parquet"),
+        )
+        q = None
+        try:
+            stream = S.read_event_stream(spark, src, max_files_per_trigger=1)
+            sess = S.sessionize(stream, gap_minutes=30, watermark="10 minutes")
+            q = S.run_to_memory(sess, "sessions_eq")
+            q.processAllAvailable()
+            # two flush batches: one to advance the watermark past every
+            # real session + gap, one more so timeouts fire under it
+            for i in range(1, 3):
+                _write_batch(
+                    src, i, [(10**6 + i, ts(10**6 * i), 10**9, "x", 0.0, "{}")]
+                )
+                q.processAllAvailable()
+            got = {
+                (
+                    r["user_id"],
+                    int(r["session_start"].timestamp()),
+                    int(r["session_end"].timestamp()),
+                    r["n_events"],
+                )
+                for r in spark.sql(
+                    "SELECT * FROM sessions_eq WHERE user_id < 1000000000"
+                ).collect()
+            }
+            assert got == batch
+        finally:
+            if q:
+                q.stop()
+
     def test_streaming_dedup(self, spark, tmp_path):
         src = str(tmp_path / "events4")
         os.makedirs(src)
