@@ -401,6 +401,8 @@ def main() -> None:
         "substring_dedup",
         "decontaminate",
         "sessionize",
+        "event_quantiles",
+        "geo_radius_join",
         "phash_zone_neardup",
         "ngram_jaccard",
         "dedup_keep_best",

@@ -354,6 +354,7 @@ def gen_images(
     px: int = 16,
     skew: float = 0.7,
     plant_neardup_every: int = 0,
+    colocate_neardups: bool = False,
 ) -> list[dict]:
     """Deterministic image rows inside the lux_world box.
 
@@ -361,7 +362,12 @@ def gen_images(
     (exercises salting / AQE skew handling). ``plant_neardup_every=k``
     makes every k-th image a lightly-perturbed copy of its predecessor
     (±2 on a few pixels) so phash near-dup detection has true positives
-    to find (random-noise images are never within hamming distance)."""
+    to find (random-noise images are never within hamming distance).
+    ``colocate_neardups`` additionally places each planted copy 0.001°
+    east of its original (duplicate street imagery is same-location),
+    giving zone-constrained dedup true positives; it overrides the
+    coordinates AFTER the usual rng draws, so the random stream — and
+    therefore every other row — is identical to the flag-off fixture."""
     rng = np.random.default_rng(seed)
     rows = []
     mega = [(LUX_X0 + 0.0, LUX_Y0 + 0.0, LUX_X0 + 1.0, LUX_Y0 + 1.25),
@@ -386,7 +392,10 @@ def gen_images(
             arr = np.clip(arr + mask * rng.integers(-40, 41, arr.shape), 0, 255).astype(
                 np.uint8
             )
+            if colocate_neardups:
+                lon, lat = prev_lon + 0.001, prev_lat
         prev_arr = arr
+        prev_lon, prev_lat = lon, lat
         fmt = "raw" if i % 2 == 0 else "lossy"
         blob = codecs.encode(arr, fmt)
         rows.append(

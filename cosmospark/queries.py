@@ -4345,6 +4345,156 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+RADIUS_M = 25_000.0
+# Grid pitch for the block join: one cell must span >= RADIUS in BOTH
+# axes everywhere the data lives (lux band, |lat| <= 54°), so any pair
+# within RADIUS sits in the same or an adjacent cell: lat 0.5° = 55.7 km
+# and lon 0.5°·cos(54°) = 32.7 km, both > 25 km.
+_RJ_CELL_DEG = 0.5
+_RJ_N_STATIONS = 200
+_RJ_N_PTS = 20_000
+_RJ_STATIONS_SQL = (
+    f"SELECT i AS station_id, 2.0 + (i * 131 % 1300) / 100.0 AS slon, "
+    f"44.0 + (i * 197 % 1000) / 100.0 AS slat FROM range({_RJ_N_STATIONS}) t(i)"
+)
+_RJ_PTS_SQL = (
+    f"SELECT i AS pid, 2.0 + (i * 7919 % 1300) / 100.0 AS lon, "
+    f"44.0 + (i * 104729 % 1000) / 100.0 AS lat FROM range({_RJ_N_PTS}) t(i)"
+)
+_HAVERSINE = (
+    "12742000.0 * asin(sqrt("
+    "pow(sin(radians({lat2} - {lat1}) / 2), 2) + "
+    "cos(radians({lat1})) * cos(radians({lat2})) * "
+    "pow(sin(radians({lon2} - {lon1}) / 2), 2)))"
+)
+
+
+def q_geo_radius_join(spark, sf_dir):
+    """Distributed RADIUS JOIN (spatial distance join): every
+    (station, point) pair within 25 km great-circle distance. The
+    missing third member of the spatial-join family next to containment
+    (J1) and PIP (J2).
+
+    100 TB shape: never a cross join — both sides snap to a 0.5° grid
+    sized so one cell covers the radius in both axes; the SMALL side
+    (stations) explodes to its 3x3 neighbor block (9 rows each) and
+    BROADCASTS; the fact side computes its single (cx, cy) key map-side
+    and equi-joins, then the exact haversine refines. Candidates per
+    point are bounded by station density x 9 cells — independent of
+    corpus size; the fact table never shuffles (plan-tested). The
+    oracle is the brute cross join with the IDENTICAL haversine text,
+    so a green hash proves the block join's recall is exactly 1.0
+    (trig ulp skew across engines is harmless here: the 0.01°-grid
+    fixture keeps every pair metres away from the 25 km boundary,
+    verified in tests/test_plans.py)."""
+    cw = _RJ_CELL_DEG
+    st = spark.sql(_RJ_STATIONS_SQL).select(
+        "station_id",
+        "slon",
+        "slat",
+        F.floor((F.col("slon") + 180.0) / cw).cast("long").alias("cx0"),
+        F.floor((F.col("slat") + 90.0) / cw).cast("long").alias("cy0"),
+    )
+    st9 = st.select(
+        "station_id",
+        "slon",
+        "slat",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(-1, 1), dx ->"
+                " transform(sequence(-1, 1), dy ->"
+                " struct(cx0 + dx AS cx, cy0 + dy AS cy))))"
+            )
+        ).alias("c"),
+    ).select("station_id", "slon", "slat", "c.cx", "c.cy")
+    pts = spark.sql(_RJ_PTS_SQL).select(
+        "pid",
+        "lon",
+        "lat",
+        F.floor((F.col("lon") + 180.0) / cw).cast("long").alias("cx"),
+        F.floor((F.col("lat") + 90.0) / cw).cast("long").alias("cy"),
+    )
+    dist = _HAVERSINE.format(lat1="slat", lon1="slon", lat2="lat", lon2="lon")
+    return (
+        pts.join(F.broadcast(st9), ["cx", "cy"])
+        .filter(F.expr(dist) <= RADIUS_M)
+        .select("station_id", "pid")
+        .orderBy("station_id", "pid")
+    )
+
+
+def sql_geo_radius_join() -> str:
+    dist = _HAVERSINE.format(lat1="s.slat", lon1="s.slon", lat2="p.lat", lon2="p.lon")
+    return f"""
+SELECT s.station_id, p.pid
+FROM ({_RJ_STATIONS_SQL}) s, ({_RJ_PTS_SQL}) p
+WHERE {dist} <= {RADIUS_M!r}
+ORDER BY s.station_id, p.pid
+"""
+
+
+_QUANTILE_PCTS = (50, 90, 99)
+
+
+def q_event_quantiles(spark, sf_dir):
+    """EXACT distributed percentiles (p50/p90/p99 of event value-cents
+    per event_type) via the bounded-domain HISTOGRAM algorithm — the
+    100 TB shape for integer-domain quantiles: the corpus collapses to
+    a (event_type, cents) → count histogram in ONE map-side-combined
+    exchange (aggregate-sized: |domain| ≈ 10⁴ cents buckets, not
+    corpus-sized), the cumulative walk + quantile picks run as windows
+    over that tiny histogram. No corpus-wide sort (Spark's built-in
+    exact `percentile` buffers each group's values — unbounded state),
+    no approximation (percentile_approx's sketch is engine-specific and
+    un-oracle-able). Discrete (type-1) quantiles: smallest value whose
+    cumulative count reaches ceil(p·n/100) — integer-exact in both
+    engines, no interpolation float hazards."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    h = e.groupBy("event_type", "cents").agg(F.count("*").alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = h.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("event_type"))
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("cum") * 100 >= F.col("n") * p, F.col("cents")
+            )
+        ).alias(f"p{p}")
+        for p in _QUANTILE_PCTS
+    ]
+    return cum.groupBy("event_type").agg(*aggs).orderBy("event_type")
+
+
+SQL_EVENT_QUANTILES = f"""
+WITH e AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events
+),
+h AS (
+  SELECT event_type, cents, COUNT(*) AS cnt FROM e GROUP BY event_type, cents
+),
+c AS (
+  SELECT event_type, cents,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM h
+)
+SELECT event_type,
+       {", ".join(f"MIN(CASE WHEN cum * 100 >= n * {p} THEN cents END) AS p{p}" for p in _QUANTILE_PCTS)}
+FROM c GROUP BY event_type ORDER BY event_type
+"""
+
+
 SESSION_GAP_S = 1800  # 30-min inactivity gap, the classic web default
 
 
@@ -4421,6 +4571,17 @@ ORDER BY user_id, session_idx
 """
 
 
+def _phash_zone_fixture_rows():
+    """Colocated variant for the zone-constrained dedup: planted
+    near-dups sit 0.001° from their originals (same zone), so the query
+    has true positives; all non-planted coordinates and every
+    pixel/phash are IDENTICAL to _phash_fixture_rows (the flag touches
+    nothing in the random stream)."""
+    from cosmospark.fixtures import gen_images
+
+    return gen_images(200, seed=3, plant_neardup_every=10, colocate_neardups=True)
+
+
 def q_phash_zone_neardup(spark, sf_dir):
     """ZONE-CONSTRAINED image near-dup — the geo×image composition as a
     dedup operator: street-imagery pipelines dedupe per region because
@@ -4437,7 +4598,7 @@ def q_phash_zone_neardup(spark, sf_dir):
     the PIP assignment and the banding's recall claim."""
     from cosmospark.ztypes import IMAGES_SCHEMA
 
-    imgs = spark.createDataFrame(_phash_fixture_rows(), schema=IMAGES_SCHEMA)
+    imgs = spark.createDataFrame(_phash_zone_fixture_rows(), schema=IMAGES_SCHEMA)
     zones = _lux_typed_zones(spark)
     a0 = assign_zones(imgs.select("image_id", "lon", "lat", "phash"), zones).filter(
         F.col("zone_id") >= 0
@@ -4495,9 +4656,9 @@ def sql_phash_zone_neardup(sf_dir: str) -> str:
     """Assigned-zone CTE (rectangle PIP + (rank, area, id) argmin, the
     sql_image_zone_rollup derivation) + brute all-pairs hamming within
     equal zones."""
-    rows = _phash_fixture_rows()
+    rows = _phash_zone_fixture_rows()
     path = _materialize_oracle_parquet(
-        "image_zone_pts",
+        "image_zone_colocated_pts",
         sf_dir,
         {
             "image_id": [r["image_id"] for r in rows],
@@ -4721,7 +4882,7 @@ ORDER BY video_id, frame_idx
 # registry
 
 DRIVER_SAMPLE_CAP = 50  # external correctness gate samples this many, front-first
-REGISTRY_TOTAL = 79  # asserted == len(queries()) in test_oracle_parity (ADVICE r5)
+REGISTRY_TOTAL = 81  # asserted == len(queries()) in test_oracle_parity (ADVICE r5)
 
 
 def queries() -> dict:
@@ -4756,6 +4917,8 @@ def queries() -> dict:
         "geo_s2_range_scan": q_geo_s2_range_scan,
         "decontaminate": q_decontaminate,
         "sessionize": q_sessionize,
+        "event_quantiles": q_event_quantiles,
+        "geo_radius_join": q_geo_radius_join,
         "phash_zone_neardup": q_phash_zone_neardup,
         "geo_adaptive_cells": q_geo_adaptive_cells,
         "dedup_keep_best": q_dedup_keep_best,
@@ -4897,6 +5060,8 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "geo_s2_range_scan": sql_geo_s2_range_scan(),
         "decontaminate": SQL_DECONTAMINATE,
         "sessionize": SQL_SESSIONIZE,
+        "event_quantiles": SQL_EVENT_QUANTILES,
+        "geo_radius_join": sql_geo_radius_join(),
         "phash_zone_neardup": sql_phash_zone_neardup(sf_dir),
         "ann_pq_rerank": sql_ann_pq_rerank(sf_dir),
         "events_window": SQL_EVENTS_WINDOW,
