@@ -394,6 +394,7 @@ def main() -> None:
         "geo_multires_rollup",
         "geo_s2_rollup",
         "geo_s2_range_scan",
+        "geo_s2_bbox_scan",
         "stratified_sample",
         "term_stats_topk",
         "geo_parent_hierarchy",

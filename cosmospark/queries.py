@@ -4196,6 +4196,109 @@ def _s2_scan_range() -> tuple[int, int, int]:
     return p4 >> 8, p4 << shift, (p4 + 1) << shift
 
 
+# bbox covering: a lon/lat rectangle inside the store's domain
+_S2_BBOX = (4.0, 2.0, 13.0, 9.0)  # lon0, lat0, lon1, lat1
+
+
+_S2_COVER_RES = 7  # covering granularity; ranges scale to store res by shift
+
+
+def s2_bbox_covering(
+    lon0: float, lat0: float, lon1: float, lat1: float, res: int
+) -> list[tuple[int, int]]:
+    """Covering of a lon/lat rectangle as DISJOINT [lo, hi) Hilbert id
+    ranges at resolution ``res`` — the S2 pattern that turns an
+    arbitrary spatial predicate into index-range scans. Construction:
+    sample a lattice over the rectangle dilated by ~2 cell diameters at
+    ~cell/4 spacing, encode with the SAME kernel the store uses, merge
+    consecutive distinct ids into ranges. A sampling covering is a
+    PREFILTER, not the predicate — the query refines on the exact
+    bbox afterward, so a (theoretically possible, never observed)
+    missed sliver cell could only under-return; the oracle below is the
+    PURE bbox filter, so any incompleteness breaks the hash — the green
+    driver row doubles as a completeness proof on the data."""
+    # cell angular size: a face spans ~90°, split 2^res per axis
+    cell_deg = 90.0 / (1 << res)
+    pad, step = 2.0 * cell_deg, cell_deg / 4.0
+    lons = np.arange(lon0 - pad, lon1 + pad + step, step)
+    lats = np.arange(
+        max(-89.9, lat0 - pad), min(89.9, lat1 + pad) + step, step
+    )
+    gl, gt = np.meshgrid(lons, lats)
+    cells = np.unique(s2.s2_encode(gl.ravel(), gt.ravel(), res))
+    ranges: list[tuple[int, int]] = []
+    for c in cells.tolist():
+        if ranges and c == ranges[-1][1]:
+            ranges[-1] = (ranges[-1][0], c + 1)
+        else:
+            ranges.append((c, c + 1))
+    return ranges
+
+
+def q_geo_s2_bbox_scan(spark, sf_dir):
+    """Arbitrary-rectangle spatial query over the Hilbert-sorted
+    written layout: covering ranges (s2_bbox_covering) do the IO
+    pruning — the range disjunction lands in PushedFilters where
+    row-group min/max stats skip non-overlapping groups, and the
+    derived face set prunes partitions — then the EXACT lon/lat bbox
+    predicate refines (covering is a prefilter, never the answer).
+    Returns per-res-8-cell counts inside the bbox. At 10¹² rows this
+    reads ~bbox-selectivity of the store instead of scanning it."""
+    lon0, lat0, lon1, lat1 = _S2_BBOX
+    res = _S2_STORE_RES
+    # Covering at res 7, scaled to the store res: prefix ids nest, so
+    # each coarse cell IS one contiguous fine range. Hilbert locality
+    # merges the 286 res-7 cells of this bbox into NINE ranges — a
+    # 9-term disjunction the parquet reader actually pushes, vs the
+    # 388-range res-12 covering whose giant Or never reached storage.
+    shift = 2 * (res - _S2_COVER_RES)
+    cover = [
+        (lo << shift, hi << shift)
+        for lo, hi in s2_bbox_covering(lon0, lat0, lon1, lat1, _S2_COVER_RES)
+    ]
+    faces = sorted({lo >> (2 * res + 2) for lo, _ in cover} | {
+        (hi - 1) >> (2 * res + 2) for _, hi in cover
+    })
+    pts = spark.read.parquet(_s2_sorted_layout(spark))
+    range_pred = " OR ".join(
+        f"(cell >= {lo} AND cell < {hi})" for lo, hi in cover
+    )
+    return (
+        pts.filter(F.col("face").isin(faces))
+        .filter(F.expr(range_pred))
+        .filter(
+            (F.col("lon") >= lon0)
+            & (F.col("lon") <= lon1)
+            & (F.col("lat") >= lat0)
+            & (F.col("lat") <= lat1)
+        )
+        .groupBy(
+            F.shiftright(F.col("cell"), 2 * (res - 8)).alias("cell_r8")
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("cell_r8")
+    )
+
+
+def sql_geo_s2_bbox_scan() -> str:
+    """PURE exact-bbox filter over the re-encoded source points — no
+    covering, no written layout. Hash-equality with the covering-
+    prefiltered Spark result therefore proves (a) the covering misses
+    no cell holding a bbox point, (b) the refine drops every
+    out-of-bbox row the covering admitted, (c) the write→read
+    roundtrip. MATERIALIZED for the same reason as
+    sql_geo_s2_range_scan."""
+    lon0, lat0, lon1, lat1 = _S2_BBOX
+    q = s2.sql_s2_encode_from(_S2_STORE_PTS_SQL, "lon", "lat", _S2_STORE_RES)
+    return f"""
+WITH enc AS MATERIALIZED (SELECT lon, lat, cell FROM ({q}))
+SELECT cell >> {2 * (_S2_STORE_RES - 8)} AS cell_r8, COUNT(*) AS n
+FROM enc
+WHERE lon >= {lon0!r} AND lon <= {lon1!r} AND lat >= {lat0!r} AND lat <= {lat1!r}
+GROUP BY 1 ORDER BY cell_r8
+"""
+
+
 def q_geo_s2_range_scan(spark, sf_dir):
     """Spatial range query over the Hilbert-sorted written layout: all
     points in one res-4 S2 cell, rolled up to res-8 subcells. The
@@ -4882,7 +4985,7 @@ ORDER BY video_id, frame_idx
 # registry
 
 DRIVER_SAMPLE_CAP = 50  # external correctness gate samples this many, front-first
-REGISTRY_TOTAL = 81  # asserted == len(queries()) in test_oracle_parity (ADVICE r5)
+REGISTRY_TOTAL = 82  # asserted == len(queries()) in test_oracle_parity (ADVICE r5)
 
 
 def queries() -> dict:
@@ -4915,6 +5018,7 @@ def queries() -> dict:
         "stratified_sample": q_stratified_sample,
         "term_stats_topk": q_term_stats_topk,
         "geo_s2_range_scan": q_geo_s2_range_scan,
+        "geo_s2_bbox_scan": q_geo_s2_bbox_scan,
         "decontaminate": q_decontaminate,
         "sessionize": q_sessionize,
         "event_quantiles": q_event_quantiles,
@@ -5058,6 +5162,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "stratified_sample": sql_stratified_sample(sf_dir),
         "term_stats_topk": SQL_TERM_STATS,
         "geo_s2_range_scan": sql_geo_s2_range_scan(),
+        "geo_s2_bbox_scan": sql_geo_s2_bbox_scan(),
         "decontaminate": SQL_DECONTAMINATE,
         "sessionize": SQL_SESSIONIZE,
         "event_quantiles": SQL_EVENT_QUANTILES,

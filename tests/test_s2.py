@@ -192,6 +192,51 @@ def test_s2_range_scan_pruning(spark):
     assert 0 < n_hits <= cover_rows
 
 
+def test_s2_bbox_covering_compact_and_pushed(spark):
+    """The bbox covering must stay COMPACT (Hilbert locality merges the
+    286 res-7 cells into ≤ 16 ranges — fragmentation is what kills
+    filter pushdown) and the whole range disjunction + exact bbox
+    refine must reach the parquet scan; row-group stats then skip most
+    of the face's groups."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from cosmospark.queries import (
+        _S2_BBOX,
+        _S2_COVER_RES,
+        _S2_STORE_RES,
+        q_geo_s2_bbox_scan,
+        s2_bbox_covering,
+        _s2_sorted_layout,
+    )
+
+    cover = s2_bbox_covering(*_S2_BBOX, _S2_COVER_RES)
+    assert 2 <= len(cover) <= 16, len(cover)
+
+    df = q_geo_s2_bbox_scan(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "GreaterThanOrEqual(cell" in plan  # ranges reached storage
+
+    # row-group skipping: count groups overlapping ANY covering range
+    shift = 2 * (_S2_STORE_RES - _S2_COVER_RES)
+    ranges = [(lo << shift, hi << shift) for lo, hi in cover]
+    face = ranges[0][0] >> (2 * _S2_STORE_RES + 2)
+    path = _s2_sorted_layout(spark)
+    total = overlapping = 0
+    for f in glob.glob(f"{path}/face={face}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        col = md.schema.to_arrow_schema().names.index("cell")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col).statistics
+            total += 1
+            if any(st.min < hi and st.max >= lo for lo, hi in ranges):
+                overlapping += 1
+    assert total >= 8
+    assert overlapping / total < 0.85, (overlapping, total)
+
+
 def test_s2_range_scan_matches_unpruned(spark):
     """Same answer as a brute numpy re-encode of the source points (no
     written layout, no pruning, no Spark) — the IO path changes, the
