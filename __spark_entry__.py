@@ -6,7 +6,7 @@ entry(spark)  — flagship job on sf0.001: derive deterministic geo points
                 ZoneIndex, and return per-zone-type counts.
 queries()     — one entry per implemented operator (SURVEY.md §2 +
                 training-data + multimodal ops); see cosmospark/queries.py.
-oracle_sql()  — matching DuckDB SQL for EVERY query (71/71): xxhash64-
+oracle_sql()  — matching DuckDB SQL for EVERY query (82/82): xxhash64-
                 based ops use the Spark-bit-identical pure-Python XXH64
                 (cosmospark/xxh.py) to materialize signatures the SQL
                 then verifies relationally; fake-codec payloads are
