@@ -4142,7 +4142,7 @@ def _sample_rate_case(lang_expr: str) -> str:
 _S2_STORE_DIR = "/tmp/cosmospark_s2_store"
 _S2_STORE_N = 200_000
 _S2_STORE_RES = 12
-_S2_STORE_VERSION = "v1"  # bump to invalidate the written layout
+_S2_STORE_VERSION = "v2"  # bump to invalidate the written layout (v2: double lon/lat)
 _S2_STORE_PTS_SQL = (
     f"SELECT i AS pid, -180.0 + (i * 7919 % 36000) / 100.0 AS lon, "
     f"-90.0 + (i * 104729 % 18000) / 100.0 AS lat FROM range({_S2_STORE_N}) t(i)"
@@ -4169,8 +4169,20 @@ def _s2_sorted_layout(spark) -> str:
         q = s2.sql_s2_encode_from(
             _S2_STORE_PTS_SQL, "lon", "lat", _S2_STORE_RES
         )
-        pts = spark.sql(f"SELECT pid, lon, lat, cell FROM ({q})").withColumn(
-            "face", F.shiftright(F.col("cell"), 2 * _S2_STORE_RES).cast("int")
+        # lon/lat cast to DOUBLE at write: Spark parses the source
+        # SQL's bare decimal literals as DECIMAL(28,6) — 16 bytes/value
+        # and slower comparisons than double on every later scan (2x
+        # the coordinate IO at 100 TB); the cast is exact for these
+        # 2-decimal-digit fixture values and happens AFTER the encode,
+        # so stored cells are unchanged.
+        pts = spark.sql(f"SELECT pid, lon, lat, cell FROM ({q})").select(
+            "pid",
+            F.col("lon").cast("double").alias("lon"),
+            F.col("lat").cast("double").alias("lat"),
+            "cell",
+            F.shiftright(F.col("cell"), 2 * _S2_STORE_RES)
+            .cast("int")
+            .alias("face"),
         )
         (
             pts.repartition(6, "face")
