@@ -237,6 +237,37 @@ def test_s2_bbox_covering_compact_and_pushed(spark):
     assert overlapping / total < 0.85, (overlapping, total)
 
 
+def test_s2_bbox_covering_complete_random_boxes():
+    """Property check (no Spark): for 40 deterministic random boxes at
+    assorted latitudes/sizes, EVERY point inside the box encodes to a
+    cell inside the covering ranges — the sampled covering misses no
+    sliver cell, so the covering-prefilter + exact-refine composition
+    can never under-return."""
+    from cosmospark.queries import s2_bbox_covering
+
+    rng = np.random.default_rng(7)
+    res = 7
+    for _ in range(40):
+        lon0 = rng.uniform(-175, 160)
+        lat0 = rng.uniform(-80, 70)
+        lon1 = lon0 + rng.uniform(0.2, 15.0)
+        lat1 = lat0 + rng.uniform(0.2, 10.0)
+        ranges = s2_bbox_covering(lon0, lat0, lon1, lat1, res)
+        los = np.array([lo for lo, _ in ranges])
+        his = np.array([hi for _, hi in ranges])
+        # dense interior points, including the exact corners/edges
+        pl = np.concatenate(
+            [rng.uniform(lon0, lon1, 4000), [lon0, lon1, lon0, lon1]]
+        )
+        pt = np.concatenate(
+            [rng.uniform(lat0, lat1, 4000), [lat0, lat0, lat1, lat1]]
+        )
+        cells = s2.s2_encode(pl, pt, res)
+        idx = np.searchsorted(los, cells, side="right") - 1
+        ok = (idx >= 0) & (cells < his[np.clip(idx, 0, len(his) - 1)])
+        assert ok.all(), (lon0, lat0, lon1, lat1, cells[~ok][:5])
+
+
 def test_s2_range_scan_matches_unpruned(spark):
     """Same answer as a brute numpy re-encode of the source points (no
     written layout, no pruning, no Spark) — the IO path changes, the
