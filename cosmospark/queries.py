@@ -5025,6 +5025,12 @@ def queries() -> dict:
         #    tile encode/pyramid: polar-lat clamp in the SQL oracles.
         #    geo_s2_encode / geo_s2_rollup: new (S2-style spherical
         #    cells — cube face + quadratic ST + Hilbert).
+        #    Late-r6 additions, also in-window: stratified_sample,
+        #    term_stats_topk, geo_s2_range_scan, geo_s2_bbox_scan,
+        #    decontaminate, sessionize, event_quantiles,
+        #    geo_radius_join, phash_zone_neardup (colocated fixture).
+        #    image_zone_rollup stays in-window (its shared PIP-oracle
+        #    CTE text was touched when phash_zone_neardup forked it).
         "geo_s2_encode": q_geo_s2_encode,
         "geo_s2_rollup": q_geo_s2_rollup,
         "stratified_sample": q_stratified_sample,
