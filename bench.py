@@ -59,6 +59,7 @@ def main() -> None:
     cpu_secs: dict[str, float] = {}
     tree_cpu_secs: dict[str, float] = {}
     host_probes: dict[str, float] = {}
+    retried_entries: list[str] = []
 
     # --- host probes --------------------------------------------------------
     def _host_probe() -> float:
@@ -212,11 +213,23 @@ def main() -> None:
         untimed warmup, scrub, then best-of-N timed runs with a scrub
         after each. Records wall seconds (timings) and the best run's
         executor CPU-seconds (cpu_secs). Returns the last run's
-        result."""
-        fn()  # warmup: JIT + python daemons out of the measurement
-        _scrub()
-        best, best_cpu, best_tree, last = float("inf"), None, None, None
-        for _ in range(runs):
+        result.
+
+        Host-phase self-healing (r6): after the timed runs, one
+        parallel-CPU probe reads the host. If it reads HOT (>3x the
+        suite-start baseline and >0.4 s absolute — the co-tenant
+        memory-lane phases this box draws read 0.4-0.9+ s vs ~0.15
+        idle), the entry's draw is presumed host-poisoned: wait out up
+        to two 20 s backoffs for the probe to cool, then take ONE more
+        timed run and keep the min. Deterministic, bounded (max 2
+        retries), and recorded: host_cpu_probe_per_query keeps the
+        FINAL probe, retried_entries lists what re-ran. This is the
+        mechanism fix for r5's unreconcilable 6.14 s image_pipeline
+        artifact: the artifact of record now defends itself against
+        drawing a bad phase instead of requiring post-hoc A/Bs."""
+
+        def _one_run():
+            nonlocal best, best_cpu, best_tree, last
             c0 = _stage_cpu_ns()
             p0 = _tree_cpu_snapshot()
             t0 = time.time()
@@ -230,19 +243,31 @@ def main() -> None:
                 if c0 is not None and c1 is not None:
                     best_cpu = (c1 - c0) / 1e9
             _scrub()
+
+        fn()  # warmup: JIT + python daemons out of the measurement
+        _scrub()
+        best, best_cpu, best_tree, last = float("inf"), None, None, None
+        for _ in range(runs):
+            _one_run()
+        probe = _cpu_probe(4)
+        hot = lambda p: p > max(0.4, 3.0 * host_cpu_probe_start)  # noqa: E731
+        retries = 0
+        while hot(probe) and retries < 2:
+            time.sleep(20)
+            probe = _cpu_probe(4)
+            if hot(probe):
+                break  # still contended — keep what we have, flagged
+            _one_run()
+            retries += 1
+            probe = _cpu_probe(4)
+        if retries:
+            retried_entries.append(name)
         timings[name] = round(best, 3)
         if best_cpu is not None:
             cpu_secs[name] = round(best_cpu, 2)
         if best_tree is not None:
             tree_cpu_secs[name] = round(best_tree, 2)
-        # Per-ENTRY host-phase context (r5 reconciliation lesson: the
-        # two suite-bracket probes were blind to a mid-suite co-tenant
-        # phase that hit exactly one query). ~0.1 s idle; multi-second
-        # readings flag that THIS entry's wall number was drawn during
-        # a contended phase — read wall alongside cpu_sec (JVM) and
-        # tree_cpu_sec (workers): flat cpu_sec + inflated tree_cpu +
-        # hot probe = host memory-lane contention, not the plan.
-        host_probes[name] = _cpu_probe(4)
+        host_probes[name] = probe
         return last, best
 
     # --- headline: H3-encode + PIP assign throughput -----------------------
@@ -588,6 +613,7 @@ def main() -> None:
         "cpu_sec": cpu_secs,
         "tree_cpu_sec": tree_cpu_secs,
         "host_cpu_probe_per_query": host_probes,
+        "retried_entries": retried_entries,
         "sf": sf_dir,
         "cpus": cpus,
         "pip_rows": n_pip,
