@@ -217,12 +217,13 @@ def main() -> None:
 
         Host-phase self-healing (r6): after the timed runs, one
         parallel-CPU probe reads the host. If it reads HOT (>3x the
-        suite-start baseline and >0.4 s absolute — the co-tenant
+        suite-start baseline and >0.35 s absolute — the co-tenant
         memory-lane phases this box draws read 0.4-0.9+ s vs ~0.15
         idle), the entry's draw is presumed host-poisoned: wait out up
         to two 20 s backoffs for the probe to cool, then take ONE more
         timed run and keep the min. Deterministic, bounded (max 2
-        retries), and recorded: host_cpu_probe_per_query keeps the
+        backoffs per entry, 10 retried entries per suite — a SUSTAINED
+        phase cannot stretch the suite unboundedly), and recorded: host_cpu_probe_per_query keeps the
         FINAL probe, retried_entries lists what re-ran. This is the
         mechanism fix for r5's unreconcilable 6.14 s image_pipeline
         artifact: the artifact of record now defends itself against
@@ -250,9 +251,9 @@ def main() -> None:
         for _ in range(runs):
             _one_run()
         probe = _cpu_probe(4)
-        hot = lambda p: p > max(0.4, 3.0 * host_cpu_probe_start)  # noqa: E731
+        hot = lambda p: p > max(0.35, 3.0 * host_cpu_probe_start)  # noqa: E731
         retries = 0
-        while hot(probe) and retries < 2:
+        while hot(probe) and retries < 2 and len(retried_entries) < 10:
             time.sleep(20)
             probe = _cpu_probe(4)
             if hot(probe):
