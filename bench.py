@@ -199,7 +199,10 @@ def main() -> None:
         # time until it plateaus (<20 ms growth per 250 ms), bounded.
         mx = spark._jvm.java.lang.management.ManagementFactory.getCompilationMXBean()
         last = mx.getTotalCompilationTime()
-        deadline = time.time() + 15
+        # 25 s bound (was 15): the suite now runs 44 entries and a
+        # compile backlog can outlive the shorter bound mid-suite; the
+        # poll exits at plateau, so an idle queue costs one 250 ms tick
+        deadline = time.time() + 25
         while time.time() < deadline:
             time.sleep(0.25)
             cur = mx.getTotalCompilationTime()
