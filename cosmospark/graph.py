@@ -60,6 +60,43 @@ def _small_star(e: DataFrame) -> DataFrame:
     return children.unionByName(selfs)
 
 
+def _large_star_bc(e: DataFrame) -> DataFrame:
+    """Broadcast-star large star (r7): the per-node neighborhood min is
+    NODE-scale, not edge-scale — a map-side-combined groupBy reduces
+    the edge set to one (u, min) row per node before any exchange, and
+    the tiny min table broadcasts back onto the unshuffled edges. The
+    window form exchanges+sorts the full symmetrized edge multiset
+    (2|E| rows); this form's only exchange carries ≤|V| aggregated
+    rows. Identical output multiset modulo row order (same m per u)."""
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = sym.groupBy("u").agg(F.min("v").alias("_mv")).select(
+        "u", F.least("u", "_mv").alias("m")
+    )
+    return (
+        sym.join(F.broadcast(m), "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+
+
+def _small_star_bc(e: DataFrame) -> DataFrame:
+    """Broadcast-star small star (r7) — see _large_star_bc. The selfs
+    leg emits one row per NODE instead of one per edge; the round's
+    distinct() collapses the window form's per-edge duplicates to the
+    same set, so the checkpointed edge SET is identical."""
+    o = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    m = o.groupBy("u").agg(F.min("v").alias("m"))
+    children = (
+        o.join(F.broadcast(m), "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    selfs = m.select("u", F.col("m").alias("v"))
+    return children.unionByName(selfs)
+
+
 def _signature(e: DataFrame) -> tuple:
     h = F.xxhash64("u", "v")
     row = e.agg(
@@ -79,29 +116,62 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 50,
     with_rounds: bool = False,
+    edges_distinct: bool = False,
 ):
     """(node, lab): every node labelled with the MINIMUM node id of its
     connected component (isolated nodes label themselves). Converges in
     O(log n) alternating-star rounds; raises if ``max_iter`` rounds
     don't suffice. ``with_rounds=True`` additionally returns the round
-    count (scale tests assert it stays logarithmic)."""
-    e = (
-        edges.select(
-            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
-        )
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    count (scale tests assert it stays logarithmic).
+
+    ``edges_distinct=True`` skips the defensive input dedup: callers
+    whose edge generator emits each pair exactly once by construction
+    (the jaccard pair joins — one row per qualifying pair) save a full
+    edge-set exchange, the dominant pre-round cost on dense pair
+    graphs (r7: 5.7 s of 18 s on the 44M-edge sf1.0 graph). The star
+    rounds keep their own distinct, so a caller lying about it costs
+    duplicated round-1 work, never a wrong label."""
+    e = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    if not edges_distinct:
+        e = e.distinct()
+    e = e.localCheckpoint(eager=True)
     prev_sig = None
     rounds = 0
     converged = e.limit(1).count() == 0  # edgeless graph: all isolated
+    # Strategy gate (r7): the star min tables are EDGE-INCIDENT-NODE
+    # scale; when they fit the broadcast budget the broadcast-star
+    # round replaces three edge-multiset exchanges (2 window
+    # exchange+sorts + the dedup shuffle's wide input) with two tiny
+    # node-scale aggregates + map-side joins — 9 s → ~2 s on the
+    # 44M-edge sf1.0 near-dup graph. The incident-node set never grows
+    # across star rounds (every new endpoint is a min of existing
+    # nodes), so one up-front count decides all rounds; over budget
+    # (10⁹-node planet graphs) the window form is unchanged.
+    use_bc = False
+    if not converged:
+        from cosmospark.assign import BROADCAST_BUDGET_BYTES
+
+        # gate on the NODE table count — an upper bound on the
+        # edge-incident set. A count over the node source is
+        # metadata-cheap (parquet footers), while an exact
+        # incident-node distinct-count over the edge multiset measured
+        # 5 s on the 44M-edge graph — as expensive as the round it was
+        # meant to optimize. Conservative direction only: a planet
+        # graph with few incident nodes takes the window path, never
+        # an over-budget broadcast.
+        n_nodes = nodes.count()
+        use_bc = n_nodes * 32 <= BROADCAST_BUDGET_BYTES
     while not converged:
         if rounds >= max_iter:
             raise RuntimeError(
                 f"connected_components did not converge in {max_iter} rounds"
             )
-        e = _small_star(_large_star(e)).distinct().localCheckpoint(eager=True)
+        if use_bc:
+            e = _small_star_bc(_large_star_bc(e)).distinct().localCheckpoint(eager=True)
+        else:
+            e = _small_star(_large_star(e)).distinct().localCheckpoint(eager=True)
         rounds += 1
         sig = _signature(e)
         converged = sig == prev_sig

@@ -2037,15 +2037,31 @@ def q_substring_dedup(spark, sf_dir):
         .select("doc_id", F.split("text", " ").alias("t"))
         .filter(F.size("t") >= k)  # sequence(0, negative) guard
     )
+    # conditional splittability guard (r7): the window-hash pass sits
+    # directly on the scan stage; a single-row-group file would run it
+    # 1-wide (no-op on many-file inputs — see _widen_if_narrow)
+    d = _widen_if_narrow(spark, d, "doc_id")
+    # pass-1 window key: xxhash64 over the token SLICE (HashExpression
+    # hashes array elements in order), not over a joined string — the
+    # join/compare key only needs to be deterministic and collision-
+    # checked later, and skipping array_join avoids materializing every
+    # window's text (k tokens copied per window, corpus-wide) just to
+    # hash it (r7, guide §4.2 spirit: don't build bytes you only hash).
+    # Tokens are space-split so slice↔text is bijective, and pass 2
+    # still re-verifies on the real text: a collision under either hash
+    # cannot fabricate a duplicate.
     wins = d.select(
         "doc_id",
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, size(t) - {k}),"
-                f" i -> xxhash64(array_join(slice(t, i + 1, {k}), ' ')))"
+                f" i -> xxhash64(slice(t, i + 1, {k})))"
             )
         ).alias("pos", "h"),
     )
+    # shared lineage: wins feeds the candidate aggregate AND the hit
+    # semi-join — uncached it executes the corpus window-hash twice
+    _cache_generation("substring_dedup", wins)
     cand = (
         wins.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -2326,13 +2342,18 @@ def q_gopher_repetition(spark, sf_dir):
     d = d.select(
         "doc_id",
         F.length("text").alias("tc"),
+        # grams via direct 0-based indexing (ws[i] = GetArrayItem): the
+        # r6 shape allocated a slice() array per gram only to join it;
+        # concat over indexed elements emits the IDENTICAL string with
+        # one allocation instead of two per gram (r7, guide §1.2
+        # per-task work)
         F.expr(
-            "if(size(ws) >= 2, array_sort(transform(sequence(1, size(ws) - 1),"
-            " i -> concat_ws(' ', slice(ws, i, 2)))), array())"
+            "if(size(ws) >= 2, array_sort(transform(sequence(0, size(ws) - 2),"
+            " i -> concat(ws[i], ' ', ws[i+1]))), array())"
         ).alias("s2"),
         F.expr(
-            "if(size(ws) >= 5, array_sort(transform(sequence(1, size(ws) - 4),"
-            " i -> concat_ws(' ', slice(ws, i, 5)))), array())"
+            "if(size(ws) >= 5, array_sort(transform(sequence(0, size(ws) - 5),"
+            " i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2], ' ', ws[i+3], ' ', ws[i+4]))), array())"
         ).alias("s5"),
     )
     # single-pass run-length fold over each sorted gram array. State:
@@ -2502,6 +2523,168 @@ def release_cached_generations(key: str | None = None) -> None:
                 pass
 
 
+# Bitmask-path gate (r7): ceil(vocab/64) mask words are bounded so the
+# per-pair intersection stays a handful of codegen'd bit_counts.
+_NJ_BITMASK_MAX_VOCAB = 1024
+# cached ANALYZE-style corpus stats for the jaccard strategy choice:
+# (vocab, prefix_pair_mass, allpairs_mass, n_docs) keyed by table mtime
+_NJ_STATS_CACHE: dict[tuple, tuple[int, int, int, int]] = {}
+
+
+def _ngram_corpus_stats(spark, d, sf_dir) -> tuple[int, int, int, int]:
+    """Strategy stats for the jaccard candidate generation, memoized per
+    table path+mtime (the _SIZE_EST_CACHE convention — static-table
+    statistics, recomputed when the table is regenerated):
+
+      vocab          distinct tokens corpus-wide
+      prefix_mass    Σ over (source, token) buckets of count² — an upper
+                     proxy for the row-pairs the prefix-token candidate
+                     join evaluates (prefix indexing halves occurrences,
+                     so the realized mass is ≈ prefix_mass/4)
+      allpairs_mass  Σ over sources of n_docs² — the row-pairs a direct
+                     same-source all-pairs join evaluates
+      n_docs         corpus rows (sizes the doc-mask broadcast)
+
+    Two aggregates over the exploded token stream (word-count shape:
+    map-side combined, vocabulary×sources-bounded output) and one over
+    the doc table — cheap at any corpus size."""
+    ck = ("ngram_stats", str(sf_dir), _path_mtime(f"{sf_dir}/documents.parquet"))
+    if ck not in _NJ_STATS_CACHE:
+        toks0 = d.select("source", F.array_distinct(F.split("text", " ")).alias("toks"))
+        sw = (
+            toks0.select("source", F.explode("toks").alias("w"))
+            .groupBy("source", "w")
+            .agg(F.count("*").alias("c"))
+        )
+        r1 = sw.agg(
+            (F.sum(F.col("c") * F.col("c"))).alias("pf"),
+            F.count_distinct("w").alias("v"),
+        ).collect()[0]
+        r2 = (
+            toks0.groupBy("source")
+            .agg(F.count("*").alias("n"))
+            .agg(F.sum(F.col("n") * F.col("n")).alias("ap"), F.sum("n").alias("nd"))
+            .collect()[0]
+        )
+        _NJ_STATS_CACHE[ck] = (
+            int(r1["v"] or 0),
+            int(r1["pf"] or 0),
+            int(r2["ap"] or 0),
+            int(r2["nd"] or 0),
+        )
+    return _NJ_STATS_CACHE[ck]
+
+
+def _ngram_jaccard_bitmask(spark, d, n_words: int, mask_bytes: int, budget):
+    """LOW-ENTROPY corpus jaccard: distinct-token sets become V-bit
+    masks (V = vocab ≤ _NJ_BITMASK_MAX_VOCAB), candidate generation is
+    the direct same-source pair join, and |∩| is ceil(V/64) codegen'd
+    ``bit_count(a & b)`` terms — no token re-materialization, no
+    candidate distinct, no per-pair string-array intersection. Exact by
+    construction: every same-source pair is evaluated (recall 1.0), and
+    sz/|∩| computed from the masks equal size(toks)/|array_intersect|
+    because bits are exactly the distinct tokens.
+
+    Chosen by q_ngram_jaccard only when the measured ``allpairs_mass``
+    is below the prefix path's realized bucket mass (guide §1: the
+    strategy follows the stats, not the shape) — on Zipf-distributed
+    real corpora the prefix path's inverted index prunes and this path
+    is never taken; on tiny-vocabulary corpora the prefix buckets carry
+    ~the whole source and the inverted index only multiplies the
+    quadratic (measured 1.13e9 bucket pairs vs 1.25e8 direct pairs on
+    the sf1.0 fixture — 9× the row-pairs for strictly more per-pair
+    work)."""
+    d = _widen_if_narrow(spark, d, "doc_id")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.array_distinct(F.split("text", " ")).alias("toks"),
+    ).withColumn("sz", F.size("toks"))
+    w = toks.select("doc_id", "source", "sz", F.explode("toks").alias("w"))
+    from pyspark.sql.window import Window
+
+    # dense token ids by token text: vocabulary-sized (≤1024 by the
+    # gate), so the single-partition id window is a non-issue
+    vocab = (
+        w.select("w")
+        .distinct()
+        .withColumn("tid", F.row_number().over(Window.orderBy("w")) - 1)
+    )
+    mask_aggs = [
+        F.expr(
+            f"bit_or(CASE WHEN tid DIV 64 = {i}"
+            f" THEN shiftleft(1L, pmod(tid, 64)) ELSE 0L END)"
+        ).alias(f"m{i}")
+        for i in range(n_words)
+    ]
+    masks = (
+        w.join(F.broadcast(vocab), "w")
+        .groupBy("doc_id", "source", "sz")
+        .agg(*mask_aggs)
+    )
+    _cache_generation("ngram_jaccard", masks)
+    ma = masks.select(
+        F.col("doc_id").alias("doc_a"),
+        "source",
+        F.col("sz").alias("sza"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(n_words)],
+    )
+    mb = masks.select(
+        F.col("doc_id").alias("doc_b"),
+        "source",
+        F.col("sz").alias("szb"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(n_words)],
+    )
+    # size filter at the PREFIX threshold (implied by round(jac,4) ≥ t,
+    # so recall is exact); masks broadcast under the same budget as the
+    # prefix path's token-array side — corpus-linear data never gets an
+    # unconditional broadcast hint
+    cond = (
+        (ma["source"] == mb["source"])
+        & (F.col("doc_a") < F.col("doc_b"))
+        & (
+            F.least(F.col("sza"), F.col("szb"))
+            >= F.ceil(F.lit(_JACCARD_PF_T) * F.greatest(F.col("sza"), F.col("szb")))
+        )
+    )
+    from functools import reduce
+
+    inter = reduce(lambda a, b: a + b, [F.col(f"i{i}") for i in range(n_words)])
+    pairs = (
+        ma.join(_maybe_broadcast(mb, mask_bytes, budget), cond)
+        .select(
+            "doc_a",
+            "doc_b",
+            "sza",
+            "szb",
+            *[
+                F.bit_count(F.col(f"a{i}").bitwiseAND(F.col(f"b{i}"))).alias(f"i{i}")
+                for i in range(n_words)
+            ],
+        )
+        .withColumn("inter", inter)
+    )
+    # raw-ratio prefilter before the rounded threshold: round(x,4) ≥ t
+    # implies x ≥ t − 0.00005, so a slightly looser multiply-compare
+    # (no division, no per-row BigDecimal round) rejects the ~20% of
+    # sz-filtered pairs below threshold before the exact filter runs;
+    # codegen ANDs short-circuit, so round() only evaluates on the
+    # boundary band + survivors. Exact: the prefilter passes a strict
+    # superset of the final filter.
+    pre = F.col("inter").cast("double") >= F.lit(JACCARD_T - 0.000051) * (
+        F.col("sza") + F.col("szb") - F.col("inter")
+    )
+    return (
+        pairs.filter(pre)
+        .withColumn(
+            "jac",
+            F.round(F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 4),
+        )
+        .filter(F.col("jac") >= JACCARD_T)
+        .select("doc_a", "doc_b", "jac")
+    )
+
+
 def q_ngram_jaccard(spark, sf_dir, broadcast_budget_bytes: int | None = None):
     """Near-dup detection: word-set Jaccard over same-source pairs.
 
@@ -2514,8 +2697,53 @@ def q_ngram_jaccard(spark, sf_dir, broadcast_budget_bytes: int | None = None):
     LAST — almost never enter the join. Exact Jaccard is then computed
     from the full token arrays per surviving pair. Round-1's version
     joined on every token occurrence: one stopword key carried a
-    quadratic partition at scale."""
+    quadratic partition at scale.
+
+    r7: candidate generation is STRATEGY-DISPATCHED on measured corpus
+    stats (_ngram_corpus_stats). Prefix filtering assumes a Zipf tail of
+    low-df tokens to index on; a LOW-ENTROPY corpus (vocabulary ≪
+    corpus) has none, so every (source, prefix-token) bucket carries
+    ~the whole source and the inverted index multiplies the quadratic
+    instead of pruning it (its own docstring caveat, now acted on).
+    When the measured all-pairs mass undercuts the prefix bucket mass
+    AND the vocabulary fits ceil(V/64) ≤ 16 mask words AND the doc-mask
+    side fits the broadcast budget, dispatch to the bitmask path
+    (_ngram_jaccard_bitmask); identical output by construction, and
+    test_plans.py pins result parity across both strategies."""
+    return _ngram_jaccard_pairs(spark, sf_dir, broadcast_budget_bytes).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def _ngram_jaccard_pairs(spark, sf_dir, broadcast_budget_bytes: int | None = None):
+    """UNORDERED jaccard pairs (strategy dispatch per q_ngram_jaccard).
+    Graph consumers (dedup_clusters → connected components) start with
+    a distinct() that destroys ordering anyway — feeding them the
+    sorted variant paid a full corpus-pair sort (44M rows at sf1.0) for
+    nothing (r7, guide §2.4: an orderBy used only for presentation)."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    vocab, pf_mass, ap_mass, n_docs = _ngram_corpus_stats(spark, d, sf_dir)
+    n_words = max(1, -(-vocab // 64))
+    # doc-mask row: ids/sz/source ≈ 48 B + 8 B per mask word
+    mask_bytes = n_docs * (48 + 8 * n_words)
+    budget = broadcast_budget_bytes
+    if budget is None:
+        from cosmospark.assign import BROADCAST_BUDGET_BYTES
+
+        budget = BROADCAST_BUDGET_BYTES
+    if (
+        vocab <= _NJ_BITMASK_MAX_VOCAB
+        and ap_mass <= pf_mass // 4  # realized prefix mass ≈ pf_mass/4
+        and mask_bytes <= budget
+    ):
+        return _ngram_jaccard_bitmask(spark, d, n_words, mask_bytes, budget)
+    return _ngram_jaccard_prefix(spark, d, sf_dir, broadcast_budget_bytes)
+
+
+def _ngram_jaccard_prefix(spark, d, sf_dir, broadcast_budget_bytes: int | None = None):
+    """The prefix-filtering (AllPairs/ppjoin) candidate path — see
+    q_ngram_jaccard; the right strategy whenever the corpus has a Zipf
+    vocabulary (any real text corpus)."""
     # size estimate for the per-doc token-array side: token bytes are
     # bounded by text bytes; +64 B/row of array/offset overhead. ONE
     # cheap two-column aggregate (text length only — no tokenization),
@@ -2617,7 +2845,6 @@ def q_ngram_jaccard(spark, sf_dir, broadcast_budget_bytes: int | None = None):
         )
         .filter(F.col("jac") >= JACCARD_T)
         .select("doc_a", "doc_b", "jac")
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -2659,9 +2886,19 @@ def q_dedup_clusters(spark, sf_dir):
     near-dup hits into the drop-list a dedup pipeline actually needs."""
     from cosmospark.graph import connected_components
 
-    pairs = q_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    # unordered pair generator: connected_components starts with a
+    # distinct(), so the presentation sort q_ngram_jaccard adds would be
+    # a wasted corpus-pair-sized exchange+sort here (r7)
+    pairs = _ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    cc = connected_components(docs, pairs, id_col="doc_id", src="doc_a", dst="doc_b")
+    # edges_distinct: both jaccard strategies emit each qualifying pair
+    # exactly once (bitmask: one join row per (a,b); prefix: distinct
+    # candidates joined on unique doc ids), so CC's defensive input
+    # dedup would re-shuffle the whole pair set for nothing (r7)
+    cc = connected_components(
+        docs, pairs, id_col="doc_id", src="doc_a", dst="doc_b",
+        edges_distinct=True,
+    )
     return cc.select(
         F.col("node").alias("doc_id"),
         F.col("lab").alias("cluster"),
@@ -3116,8 +3353,18 @@ SEMDEDUP_LLOYD_ITERS = 5
 SEMDEDUP_K_MAX = 32  # inline-fold assignment stays codegen-friendly
 
 
-@functools.lru_cache(maxsize=4)
 def _semdedup_centroids(sf_dir: str) -> tuple:
+    """mtime-keyed front door for _semdedup_centroids_impl (ADVICE r6):
+    an embeddings table regenerated at the same path within one session
+    must retrain — caching on sf_dir alone served stale centroids (the
+    _SIZE_EST_CACHE convention, applied here)."""
+    return _semdedup_centroids_impl(
+        sf_dir, _path_mtime(f"{sf_dir}/embeddings.parquet")
+    )
+
+
+@functools.lru_cache(maxsize=4)
+def _semdedup_centroids_impl(sf_dir: str, _mtime: float) -> tuple:
     """Production-shape coarse centroids for semdedup (VERDICT r5 #6):
     K = clamp(round(√n), 8, SEMDEDUP_K_MAX) scaled to the table, init =
     the K smallest vec_ids (no RNG), then SEMDEDUP_LLOYD_ITERS rounds
@@ -3321,8 +3568,15 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     # generation-scoped cache: this lineage is consumed 5× (both join
     # sides of the band bucket join + both sides of the exact-Jaccard
     # verification); see _cache_generation for the lifecycle rationale.
-    shingled = d.select("doc_id", F.array_distinct(sh).alias("shingles")).filter(
-        F.size("shingles") > 0
+    # NOTE no `size(shingles) > 0` filter: it is implied by the
+    # `size(split) >= 3` scan filter above (≥3 words ⇒ ≥1 shingle), and
+    # the r6 filter was a 6× regression in disguise — Catalyst pushed
+    # the predicate (with the whole shingle-construction expression
+    # inlined) BELOW the widen exchange onto the 1-wide scan stage, so
+    # the corpus was shingled single-threaded before the exchange and
+    # again after it (r7; measured 14.6 s → ~4 s at sf1.0).
+    shingled = d.select("doc_id", F.array_distinct(sh).alias("shingles")).withColumn(
+        "nsh", F.size("shingles")
     )
     n_hash, n_bands = 16, 4
     mh_cols = [
@@ -3367,16 +3621,31 @@ def q_minhash_lsh_pairs(spark, sf_dir):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh_a = shingled.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sh_b = shingled.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    sh_a = shingled.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("nsh").alias("nsh_a"),
+    )
+    sh_b = shingled.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("nsh").alias("nsh_b"),
+    )
+    # |A∪B| = |A|+|B|-|A∩B| on distinct-element arrays: ONE hash-set
+    # intersection per pair instead of intersect + union (array_union
+    # built a whole merged array only to take its size — r7, guide §1.2
+    # per-task work; result bit-identical, |∩| and the sizes are exact
+    # integers)
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
         cand.join(sh_a, "doc_a")
         .join(sh_b, "doc_b")
+        .withColumn("inter", inter)
         .withColumn(
             "jac",
             F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
+                F.col("inter")
+                / (F.col("nsh_a") + F.col("nsh_b") - F.col("inter")),
                 4,
             ),
         )
@@ -4256,7 +4525,14 @@ def q_geo_s2_bbox_scan(spark, sf_dir):
     predicate refines (covering is a prefilter, never the answer).
     Returns per-res-8-cell counts inside the bbox. At 10¹² rows this
     reads ~bbox-selectivity of the store instead of scanning it."""
-    lon0, lat0, lon1, lat1 = _S2_BBOX
+    return _s2_bbox_scan_df(spark, _S2_BBOX)
+
+
+def _s2_bbox_scan_df(spark, bbox):
+    """The bbox-scan plan for an arbitrary bbox — q_geo_s2_bbox_scan
+    binds the fixture box; tests drive off-face-0 and face-spanning
+    boxes through the same code path (VERDICT r6 #1 regression)."""
+    lon0, lat0, lon1, lat1 = bbox
     res = _S2_STORE_RES
     # Covering at res 7, scaled to the store res: prefix ids nest, so
     # each coarse cell IS one contiguous fine range. Hilbert locality
@@ -4268,8 +4544,14 @@ def q_geo_s2_bbox_scan(spark, sf_dir):
         (lo << shift, hi << shift)
         for lo, hi in s2_bbox_covering(lon0, lat0, lon1, lat1, _S2_COVER_RES)
     ]
-    faces = sorted({lo >> (2 * res + 2) for lo, _ in cover} | {
-        (hi - 1) >> (2 * res + 2) for _, hi in cover
+    # face of a cell id: layout is (face << 2*res) | hilbert_d (s2.py),
+    # so the face is cell >> (2*res). r6 shipped >> (2*res + 2) — i.e.
+    # face >> 2, which only coincided with the truth for face-0 bboxes
+    # (VERDICT r6 #1); the partition filter silently dropped every
+    # matching row for a bbox on faces 1-5. Regression coverage:
+    # tests/test_s2.py::test_bbox_face_derivation_off_face0.
+    faces = sorted({lo >> (2 * res) for lo, _ in cover} | {
+        (hi - 1) >> (2 * res) for _, hi in cover
     })
     pts = spark.read.parquet(_s2_sorted_layout(spark))
     range_pred = " OR ".join(
@@ -4384,12 +4666,19 @@ def q_term_stats_topk(spark, sf_dir):
         .filter(F.col("term") != "")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # shared lineage (r7): tf feeds BOTH the df aggregate and the join's
+    # probe side — uncached, the corpus explode + aggregate ran twice
+    _cache_generation("term_stats", tf)
     df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
     )
+    # df is VOCABULARY-sized (Heaps' law — sublinear in the corpus), the
+    # same broadcast-by-design rationale as ngram_jaccard's dfreq: the
+    # broadcast keeps the tf side's doc_id-compatible distribution
+    # flowing into the window instead of re-shuffling both sides on term
     return (
-        tf.join(df_tbl, "term")
+        tf.join(F.broadcast(df_tbl), "term")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _TERM_TOPK)
         .select("doc_id", "term", "tf", "df", "rn")
@@ -4431,24 +4720,59 @@ def q_decontaminate(spark, sf_dir):
         .select("doc_id", F.split("text", " ").alias("t"))
         .filter(F.size("t") >= DECON_W)
     )
-    wins = d.select(
+    # conditional splittability guard (r7): the corpus window-hash pass
+    # sits directly on the scan stage (see _widen_if_narrow)
+    d = _widen_if_narrow(spark, d, "doc_id")
+    # r7 probe-key change (guide §1.2 per-task work): the corpus side
+    # probes the benchmark set with xxhash64 over the token SLICE —
+    # window TEXT is materialized only (a) once on the tiny benchmark
+    # side and (b) for corpus rows that survive the hash probe (the
+    # contaminated sliver), instead of array_join'ing every corpus
+    # window up front. Tokens are space-split so slice↔text is
+    # bijective; stage 2 still verifies gram TEXT equality, so the
+    # probe hash choice cannot change the result.
+    corpus = d.filter(F.col("doc_id") % DECON_BENCH_MOD != 0).select(
         "doc_id",
+        "t",
         (F.size("t") - F.lit(DECON_W - 1)).cast("long").alias("n_grams"),
-        F.explode(
+        F.posexplode(
             F.expr(
                 f"transform(sequence(0, size(t) - {DECON_W}),"
-                f" i -> array_join(slice(t, i + 1, {DECON_W}), ' '))"
+                f" i -> xxhash64(slice(t, i + 1, {DECON_W})))"
             )
-        ).alias("w"),
+        ).alias("pos", "h"),
     )
-    bench = wins.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
-    corpus = wins.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
-    bench_h = bench.select(F.xxhash64("w").alias("h")).distinct()
-    cand = corpus.withColumn("h", F.xxhash64("w")).join(
-        F.broadcast(bench_h), "h", "left_semi"
+    # ONE benchmark-side lineage: (h, w) distinct pairs, with the hash
+    # set for the stage-1 probe derived from it (the r6 shape exploded
+    # the benchmark windows twice); cached because both broadcasts
+    # consume it
+    bench_hw = (
+        d.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(t) - {DECON_W}),"
+                    f" i -> named_struct("
+                    f"'h', xxhash64(slice(t, i + 1, {DECON_W})),"
+                    f" 'w', array_join(slice(t, i + 1, {DECON_W}), ' ')))"
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.h").alias("h"), F.col("e.w").alias("w"))
+        .distinct()
     )
-    bench_hw = bench.select(F.xxhash64("w").alias("h"), "w").distinct()
-    ver = cand.join(F.broadcast(bench_hw), ["h", "w"], "left_semi")
+    _cache_generation("decontaminate", bench_hw)
+    bench_h = bench_hw.select("h").distinct()
+    cand = corpus.join(F.broadcast(bench_h), "h", "left_semi")
+    # survivors only: re-derive window text from the carried token array
+    # (same stage as the broadcast probe — no exchange sees `t`)
+    cand_w = cand.select(
+        "doc_id",
+        "n_grams",
+        "h",
+        F.expr(f"array_join(slice(t, pos + 1, {DECON_W}), ' ')").alias("w"),
+    )
+    ver = cand_w.join(F.broadcast(bench_hw), ["h", "w"], "left_semi")
     return (
         ver.groupBy("doc_id")
         .agg(
@@ -5042,8 +5366,19 @@ def queries() -> dict:
         "event_quantiles": q_event_quantiles,
         "geo_radius_join": q_geo_radius_join,
         "phash_zone_neardup": q_phash_zone_neardup,
+        # -- r7 (optimization round) rotation: dedup_clusters /
+        #    dataset_split moved up — their lineage changed with the
+        #    strategy-dispatched jaccard pair generator (results
+        #    identical, but the policy re-validates every changed
+        #    implementation through the driver gate). The other r7
+        #    optimizations (ngram_jaccard, dedup_keep_best, minhash,
+        #    substring_dedup, gopher, decontaminate, term_stats_topk,
+        #    semdedup, geo_s2_bbox_scan face fix) were already inside
+        #    the window.
         "geo_adaptive_cells": q_geo_adaptive_cells,
         "dedup_keep_best": q_dedup_keep_best,
+        "dedup_clusters": q_dedup_clusters,
+        "dataset_split": q_dataset_split,
         "ann_ivf_written": q_ann_ivf_written,
         "semdedup": q_semdedup,
         "ngram_jaccard": q_ngram_jaccard,
@@ -5104,8 +5439,6 @@ def queries() -> dict:
         "token_count": q_token_count,
         "bpe_tokens": q_bpe_tokens,
         "quality_score": q_quality_score,
-        "dedup_clusters": q_dedup_clusters,
-        "dataset_split": q_dataset_split,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_rolling_hash": q_doc_rolling_hash,
         "ann_brute_force": q_ann_brute_force,

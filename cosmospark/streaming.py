@@ -201,9 +201,16 @@ def sessionize(
                 )
             )
             # wake when the watermark can first finalize the oldest
-            # pending run (> current wm by construction of `live`)
+            # pending run. `live` only guarantees end_s + gap_s >= wm_s
+            # in WHOLE seconds; a watermark carrying a sub-second ms
+            # component can exceed the second-floored timeout, and
+            # GroupStateImpl rejects timeouts <= watermark — clamp to
+            # wm + 1 ms (ADVICE r6; test_streaming sub-second case).
             state.setTimeoutTimestamp(
-                min(r[2] for r in live) * 1000 + gap_minutes * 60_000
+                max(
+                    min(r[2] for r in live) * 1000 + gap_minutes * 60_000,
+                    state.getCurrentWatermarkMs() + 1,
+                )
             )
         elif state.exists:
             state.remove()

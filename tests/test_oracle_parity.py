@@ -102,21 +102,22 @@ def test_registry_window_math():
         "update the constant AND rotate changed queries into the window"
     )
     window = list(qs)[: Q.DRIVER_SAMPLE_CAP]
-    # r6 changed/new set — update each round alongside the rotation
+    # r7 changed set (optimization round — implementations changed,
+    # results identical) — update each round alongside the rotation
     for name in [
-        "geo_adaptive_cells",
-        "dedup_keep_best",
-        "ann_ivf_written",
-        "semdedup",
         "ngram_jaccard",
-        "gopher_repetition",
-        "simhash",
-        "simhash_pairs",
+        "dedup_clusters",
+        "dataset_split",
+        "dedup_keep_best",
         "minhash_lsh_pairs",
-        "geo_tile_encode",
-        "geo_tile_pyramid",
+        "substring_dedup",
+        "gopher_repetition",
+        "decontaminate",
+        "term_stats_topk",
+        "semdedup",
+        "geo_s2_bbox_scan",
     ]:
-        assert name in window, f"r6-changed query {name} fell outside the sample window"
+        assert name in window, f"r7-changed query {name} fell outside the sample window"
 
 
 def test_semdedup_cluster_skew(spark):

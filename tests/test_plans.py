@@ -233,6 +233,56 @@ def test_radius_join_broadcast_no_fact_shuffle(spark):
     assert margin > 0.5, margin  # metres
 
 
+def test_ngram_strategy_dispatch(spark, tmp_path):
+    """r7: jaccard candidate generation dispatches on measured corpus
+    stats. A LOW-ENTROPY corpus (vocab ≪ corpus — prefix buckets carry
+    ~whole sources, measured 9× the row-pairs of the direct join on the
+    sf1.0 fixture) must take the bitmask path; a HIGH-ENTROPY corpus
+    (vocab > the mask bound) must keep the prefix-filter path. Both
+    paths must return identical rows on the same data."""
+    from pyspark.sql import functions as F
+
+    from cosmospark.queries import _ngram_jaccard_prefix, _t
+
+    low = str(tmp_path / "low")
+    high = str(tmp_path / "high")
+    spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 3).cast("string")).alias("source"),
+        F.expr(
+            "concat_ws(' ', transform(sequence(0, 19),"
+            " i -> concat('w', (id * 31 + i) % 11)))"
+        ).alias("text"),
+    ).coalesce(1).write.parquet(f"{low}/documents.parquet")
+    spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.lit("src").alias("source"),
+        F.expr(
+            "concat_ws(' ', transform(sequence(0, 19),"
+            " i -> concat('w', id, 'x', pmod(i * 7, 13))))"
+        ).alias("text"),
+    ).coalesce(1).write.parquet(f"{high}/documents.parquet")
+
+    lplan = _plan(Q.q_ngram_jaccard(spark, low))
+    assert "bit_count" in lplan and "array_intersect" not in lplan, (
+        "low-entropy corpus must take the bitmask path"
+    )
+    hplan = _plan(Q.q_ngram_jaccard(spark, high))
+    assert "array_intersect" in hplan and "bit_count" not in hplan, (
+        "high-entropy corpus must keep the prefix-filter path"
+    )
+
+    # cross-strategy result parity on the SAME (low-entropy) corpus
+    d = _t(spark, low, "documents").select("doc_id", "source", "text")
+    got = sorted(
+        map(tuple, Q.q_ngram_jaccard(spark, low).collect())
+    )
+    want = sorted(
+        map(tuple, _ngram_jaccard_prefix(spark, d, low).collect())
+    )
+    assert got == want and len(got) > 0
+
+
 def test_sessionize_single_user_exchange(spark):
     """Sessionization must shuffle the events table exactly ONCE (on
     user_id); both windows and the session aggregate reuse that

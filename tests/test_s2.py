@@ -222,7 +222,10 @@ def test_s2_bbox_covering_compact_and_pushed(spark):
     # row-group skipping: count groups overlapping ANY covering range
     shift = 2 * (_S2_STORE_RES - _S2_COVER_RES)
     ranges = [(lo << shift, hi << shift) for lo, hi in cover]
-    face = ranges[0][0] >> (2 * _S2_STORE_RES + 2)
+    # face = cell >> 2*res under the (face << 2*res) | hilbert layout
+    # (the r6 copy of this line carried the same +2 shift bug as the
+    # query — ADVICE r6)
+    face = ranges[0][0] >> (2 * _S2_STORE_RES)
     path = _s2_sorted_layout(spark)
     total = overlapping = 0
     for f in glob.glob(f"{path}/face={face}/*.parquet"):
@@ -235,6 +238,34 @@ def test_s2_bbox_covering_compact_and_pushed(spark):
                 overlapping += 1
     assert total >= 8
     assert overlapping / total < 0.85, (overlapping, total)
+
+
+def test_bbox_face_derivation_off_face0(spark):
+    """VERDICT r6 #1 regression: the face set derived from the covering
+    must be the TRUE faces (cell >> 2*res), not face >> 2. The r6 shift
+    bug made any bbox off cube face 0 return empty/partial results
+    because the load-bearing partition filter excluded the matching
+    faces — the fixture bbox (face 0) could not catch it. Drive an
+    off-face-0 bbox AND a face-boundary-spanning bbox end-to-end
+    through the written store and compare with a brute numpy re-encode
+    of the source points."""
+    from cosmospark.queries import _S2_STORE_N, _S2_STORE_RES, _s2_bbox_scan_df
+    from cosmospark import s2 as s2mod
+
+    i = np.arange(_S2_STORE_N, dtype=np.int64)
+    lon = -180.0 + (i * 7919 % 36000) / 100.0
+    lat = -90.0 + (i * 104729 % 18000) / 100.0
+    for bbox in [(85.0, 2.0, 95.0, 9.0), (40.0, 2.0, 50.0, 9.0)]:
+        lon0, lat0, lon1, lat1 = bbox
+        m = (lon >= lon0) & (lon <= lon1) & (lat >= lat0) & (lat <= lat1)
+        cells = s2mod.s2_encode(lon[m], lat[m], _S2_STORE_RES)
+        true_faces = set((cells >> (2 * _S2_STORE_RES)).tolist())
+        assert true_faces != {0}, "bbox must exercise a non-zero face"
+        r8 = cells >> (2 * (_S2_STORE_RES - 8))
+        ids, counts = np.unique(r8, return_counts=True)
+        brute = pd.DataFrame({"cell_r8": ids, "n": counts})
+        got = _s2_bbox_scan_df(spark, bbox).toPandas()
+        pd.testing.assert_frame_equal(got, brute, check_dtype=False)
 
 
 def test_s2_bbox_covering_complete_random_boxes():
