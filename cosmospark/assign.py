@@ -946,10 +946,19 @@ def adaptive_cell_split(
     Returns ``pts`` + (res int, cell long). Deterministic: pure grid
     arithmetic + counts, no sampling."""
     assert len(resolutions) >= 1 and list(resolutions) == sorted(set(resolutions))
-    enc = pts
-    for r in resolutions:
+    # ONE encode at the finest resolution; coarser levels are prefix
+    # shifts (parent(cell) == cell >> 2 — the scheme's bijective-prefix
+    # property, exact including the clip: floor and clip commute with
+    # the power-of-two grid coarsening). The r6 shape ran the full
+    # 5-step bit-spread per level, tripling the per-row encode work on
+    # every scan of the fact lineage (r7, guide §1.2).
+    finest = resolutions[-1]
+    enc = pts.withColumn(
+        f"_ac{finest}", cells.col_cell_encode(F.col(lon_col), F.col(lat_col), finest)
+    )
+    for r in resolutions[:-1]:
         enc = enc.withColumn(
-            f"_ac{r}", cells.col_cell_encode(F.col(lon_col), F.col(lat_col), r)
+            f"_ac{r}", F.shiftright(F.col(f"_ac{finest}"), 2 * (finest - r))
         )
     # hot flags, coarse → fine: a point is "still descending" at level i
     # iff every ancestor level's cell was hot

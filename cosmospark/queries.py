@@ -1028,7 +1028,11 @@ def q_ann_pq(spark, sf_dir):
 
     books, qv = _pq_artifacts(sf_dir)
     m, k, dsub = books.shape
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # conditional splittability guard (r7): pq_encode's m×k distance
+    # argmins run on the scan stage (see _widen_if_narrow)
+    emb = _widen_if_narrow(
+        spark, _t(spark, sf_dir, "embeddings").select("vec_id", "embedding"), "vec_id"
+    )
     codes = pq_encode(emb, books).drop("embedding")
     terms = []
     for j in range(m):
@@ -1060,7 +1064,11 @@ def q_ann_pq_rerank(spark, sf_dir):
 
     books, qv = _pq_artifacts(sf_dir)
     m, k, dsub = books.shape
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # conditional splittability guard (r7): pq_encode's m×k distance
+    # argmins run on the scan stage (see _widen_if_narrow)
+    emb = _widen_if_narrow(
+        spark, _t(spark, sf_dir, "embeddings").select("vec_id", "embedding"), "vec_id"
+    )
     codes = pq_encode(emb, books).drop("embedding")
     terms = []
     for j in range(m):
@@ -1253,7 +1261,11 @@ def q_ann_ivf_pq(spark, sf_dir):
     the memory- AND IO-scale production shape."""
     cents, books, qv, probes, per_list = _ivf_pq_plan_parts(sf_dir)
     m, k, dsub = books.shape
-    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # conditional splittability guard (r7): the K×dim score fold runs
+    # on the scan stage (see _widen_if_narrow)
+    e = _widen_if_narrow(
+        spark, _t(spark, sf_dir, "embeddings").select("vec_id", "embedding"), "vec_id"
+    )
     scores = _ivf_scores_expr("embedding", cents, "spark")
     lists = e.withColumn(
         "list_id", F.expr(f"array_position({scores}, array_max({scores}))").cast("int")
@@ -2062,10 +2074,13 @@ def q_substring_dedup(spark, sf_dir):
     # shared lineage: wins feeds the candidate aggregate AND the hit
     # semi-join — uncached it executes the corpus window-hash twice
     _cache_generation("substring_dedup", wins)
+    # "spans ≥ 2 distinct docs" ⟺ min(doc_id) != max(doc_id): plain
+    # min/max partial aggregation instead of count_distinct's two-phase
+    # distinct expand — same candidate set, cheaper exchange (r7)
     cand = (
         wins.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .filter(F.col("d0") != F.col("d1"))
         .select("h")
     )
     hits = wins.join(cand, "h", "left_semi")
@@ -2081,8 +2096,8 @@ def q_substring_dedup(spark, sf_dir):
     )
     ver = (
         hw.groupBy("h", "w")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .filter(F.col("d0") != F.col("d1"))  # ≥2 distinct docs (as above)
         .select("h", "w")
     )
     rows = hw.join(ver, ["h", "w"], "left_semi")
@@ -3023,9 +3038,12 @@ def q_ann_brute_force(spark, sf_dir):
     cos = f"round({dot} / ({nrm} * {qn!r}), 6)"
     from pyspark.sql.window import Window
 
-    scored = e.filter(F.col("vec_id") != 0).select(
-        "vec_id", F.expr(cos).alias("cos_sim")
-    )
+    # conditional splittability guard (r7): the per-row fold sits on
+    # the scan stage (see _widen_if_narrow); the 1-row qvec lookup
+    # above stays on the unwidened scan
+    scored = _widen_if_narrow(spark, e, "vec_id").filter(
+        F.col("vec_id") != 0
+    ).select("vec_id", F.expr(cos).alias("cos_sim"))
     # orderBy().limit(k) plans as TakeOrdered (per-partition top-k +
     # driver merge) — no single-partition global sort; the row_number
     # window then runs over only the k surviving rows
@@ -3310,6 +3328,10 @@ def q_embedding_neardup(spark, sf_dir):
     Output is exactly the ground-truth pair set (oracle unchanged).
     For *approximate* similarity at scale, q_ann_lsh is the bucketed path.
     """
+    # NO widen guard here (r7): the scan-stage work is a cheap
+    # pmod+explode — _blocked_cosine_pairs repartitions into its own
+    # (key, block-pair) cogroup and the rescore joins re-shuffle by id,
+    # so a widen exchange would be pure overhead (measured +0.5 s)
     e = _t(spark, sf_dir, "embeddings")
     cand = _blocked_cosine_pairs(e, "label", _EMB_PRUNE_T)
     # exact re-score with the sequential fold (bit-identical to DuckDB)
@@ -3419,7 +3441,10 @@ def q_semdedup(spark, sf_dir):
     partition-prunable (ann.write_ivf layout). Realized cluster skew
     is pinned in test_oracle_parity.py::test_semdedup_cluster_skew and
     reported by bench.py (semdedup_max_cluster_frac)."""
-    e = _t(spark, sf_dir, "embeddings")
+    # conditional splittability guard (r7): the K×dim centroid-score
+    # fold runs on the scan stage (see _widen_if_narrow) — on the
+    # single-row-group bench table it otherwise executes ~1-wide
+    e = _widen_if_narrow(spark, _t(spark, sf_dir, "embeddings"), "vec_id")
     cents = [list(c) for c in _semdedup_centroids(sf_dir)]
     scores = _ivf_scores_expr("embedding", cents, "spark")
     lists = e.select(
@@ -3779,7 +3804,11 @@ def q_simhash(spark, sf_dir):
     DuckDB oracle joins a materialized (word → xxhash64) table (computed
     with the validated Python XXH64) and re-derives the per-bit majority
     vote + bit assembly relationally."""
-    d = _t(spark, sf_dir, "documents")
+    # conditional splittability guard (r7): the hash-vote fold sits on
+    # the scan stage (see _widen_if_narrow)
+    d = _widen_if_narrow(
+        spark, _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     return d.select("doc_id", _simhash_fp_col().alias("simhash")).orderBy("doc_id")
 
 
@@ -4137,7 +4166,9 @@ def q_ann_ivf(spark, sf_dir):
     probes only the top-P lists, exact top-10 cosine inside them.
     At 10⁹ vectors the fact table is written partitioned by list_id and
     a probe scans P/K of the data (Catalyst partition pruning)."""
-    e = _t(spark, sf_dir, "embeddings")
+    # conditional splittability guard (r7): the K×dim score fold runs
+    # on the scan stage (see _widen_if_narrow)
+    e = _widen_if_narrow(spark, _t(spark, sf_dir, "embeddings"), "vec_id")
     cents = _ivf_centroids(sf_dir)
     qvec = cents[0]  # query = vec 0's embedding, as in ann_brute_force
     qn = float(np.sqrt(np.sum(np.asarray(qvec, dtype=np.float64) ** 2)))
@@ -4660,11 +4691,14 @@ def q_term_stats_topk(spark, sf_dir):
     document has bounded distinct terms)."""
     from pyspark.sql.window import Window
 
-    toks = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-        .filter(F.col("term") != "")
+    # conditional splittability guard (r7): the token explode + partial
+    # tf aggregation sit on the scan stage (see _widen_if_narrow)
+    d = _widen_if_narrow(
+        spark, _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
     )
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     # shared lineage (r7): tf feeds BOTH the df aggregate and the join's
     # probe side — uncached, the corpus explode + aggregate ran twice
