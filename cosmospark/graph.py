@@ -97,6 +97,37 @@ def _small_star_bc(e: DataFrame) -> DataFrame:
     return children.unionByName(selfs)
 
 
+def _star_round_bc(e: DataFrame) -> DataFrame:
+    """Fused broadcast-star round (r7): small_star_bc∘large_star_bc
+    with one fewer pass over the edge multiset. Large-star's output
+    edges are (v, m(u)) for each symmetrized (u,v) with v > u, and they
+    are ALREADY oriented hi→lo (m(u) ≤ u < v), so small-star's per-node
+    min is m2(v) = min over those rows of m(u) — computable directly
+    from sym ⋈ m without materializing the intermediate edge list; the
+    children/selfs legs then need only one more sym ⋈ m ⋈ m2 pass.
+    Emits the identical row multiset as the two-step composition
+    (children: (m(u), m2(v)) where m(u) != m2(v); selfs: one (v, m2(v))
+    per node v), so the round's distinct() yields the same edge set."""
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = sym.groupBy("u").agg(F.min("v").alias("_mv")).select(
+        "u", F.least("u", "_mv").alias("m")
+    )
+    # large-star rows, not materialized: (v, mu) per sym row with v > u
+    lrows = (
+        sym.join(F.broadcast(m), "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("lv"), F.col("m").alias("mu"))
+    )
+    m2 = lrows.groupBy("lv").agg(F.min("mu").alias("m2"))
+    children = (
+        lrows.join(F.broadcast(m2), "lv")
+        .filter(F.col("mu") != F.col("m2"))
+        .select(F.col("mu").alias("u"), F.col("m2").alias("v"))
+    )
+    selfs = m2.select(F.col("lv").alias("u"), F.col("m2").alias("v"))
+    return children.unionByName(selfs)
+
+
 def _signature(e: DataFrame) -> tuple:
     h = F.xxhash64("u", "v")
     row = e.agg(
@@ -169,7 +200,7 @@ def connected_components(
                 f"connected_components did not converge in {max_iter} rounds"
             )
         if use_bc:
-            e = _small_star_bc(_large_star_bc(e)).distinct().localCheckpoint(eager=True)
+            e = _star_round_bc(e).distinct().localCheckpoint(eager=True)
         else:
             e = _small_star(_large_star(e)).distinct().localCheckpoint(eager=True)
         rounds += 1

@@ -2071,9 +2071,11 @@ def q_substring_dedup(spark, sf_dir):
             )
         ).alias("pos", "h"),
     )
-    # shared lineage: wins feeds the candidate aggregate AND the hit
-    # semi-join — uncached it executes the corpus window-hash twice
-    _cache_generation("substring_dedup", wins)
+    # shared lineages: wins feeds the candidate aggregate AND the hit
+    # semi-join (uncached it executes the corpus window-hash twice);
+    # d feeds the window build, the pass-2 text re-derivation and the
+    # final n_tokens join (uncached it re-scans + re-splits 3×)
+    _cache_generation("substring_dedup", wins, d)
     # "spans ≥ 2 distinct docs" ⟺ min(doc_id) != max(doc_id): plain
     # min/max partial aggregation instead of count_distinct's two-phase
     # distinct expand — same candidate set, cheaper exchange (r7)

@@ -32,6 +32,45 @@ def test_no_edges(spark):
     assert got == {0: 0, 1: 1, 2: 2, 3: 3}
 
 
+def test_star_round_implementations_agree(spark):
+    """r7: the three star-round forms — window (_small_star∘_large_star),
+    broadcast two-step (_small_star_bc∘_large_star_bc), and the fused
+    broadcast round (_star_round_bc) — must yield the SAME post-distinct
+    edge set on random graphs (the loop picks among them by broadcast
+    budget; equal per-round sets ⇒ equal fixpoints and labels)."""
+    import random
+
+    from cosmospark.graph import (
+        _large_star,
+        _large_star_bc,
+        _small_star,
+        _small_star_bc,
+        _star_round_bc,
+    )
+
+    rng = random.Random(13)
+    for trial in range(3):
+        n = 60
+        edge_list = sorted(
+            {
+                (min(a, b), max(a, b))
+                for a, b in (
+                    (rng.randrange(n), rng.randrange(n)) for _ in range(90)
+                )
+                if a != b
+            }
+        )
+        e = spark.createDataFrame(edge_list, "u long, v long")
+        win = sorted(
+            map(tuple, _small_star(_large_star(e)).distinct().collect())
+        )
+        two = sorted(
+            map(tuple, _small_star_bc(_large_star_bc(e)).distinct().collect())
+        )
+        fused = sorted(map(tuple, _star_round_bc(e).distinct().collect()))
+        assert win == two == fused, f"trial {trial} diverged"
+
+
 def test_dataset_split_branches_and_leakage_safety(spark):
     """val/test branches (the sf fixtures happen to land all-train) and
     the leakage guarantee: every doc in a cluster gets its cluster's
