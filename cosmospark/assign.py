@@ -36,7 +36,14 @@ from cosmospark.ztypes import TYPE_RANK
 
 DEFAULT_RESOLUTIONS = (4, 7, 9)
 DEFAULT_TILE_Z = 12
-INDEX_MAX_CELLS = 64  # finer zone indexing than the self-join: more FULL cells
+# Finer zone indexing than the self-join: more FULL cells. r7: 64 → 256
+# — measured on the 2M-point bench mix, the boundary (non-FULL) strip
+# thins 3× (4.97M → 1.68M rows through the Arrow/Python cogroup refine,
+# the path's scarce resource at scale) while the per-point explode factor
+# DROPS (6 → 4 distinct resolutions) and the key broadcast stays
+# zone-dim-scale (32.5k cells × 32 B); the keys_small budget gate already
+# degrades to a shuffle join when a planet zone dim overflows it.
+INDEX_MAX_CELLS = 256
 
 # total (zone, cell) bucket entries the broadcast index may hold
 # (~17 bytes each → ~70 MB of CSR arrays; the zone GEOMETRY usually
@@ -230,27 +237,39 @@ def encode_points(
     resolutions: tuple[int, ...] = DEFAULT_RESOLUTIONS,
     tile_z: int = DEFAULT_TILE_Z,
 ) -> DataFrame:
-    """Add cell_r{res} (multi-resolution quadkey) + tile_id columns in one
-    narrow Arrow pass (no shuffle). Finest res is encoded once; coarser
-    ids are derived by prefix shifts (bijective prefix scheme)."""
+    """Add cell_r{res} (multi-resolution quadkey) + tile_id columns, no
+    shuffle. Finest res is encoded once; coarser ids are prefix shifts
+    (bijective prefix scheme).
+
+    r7: the quadkey columns are pure JVM whole-stage codegen
+    (``cells.col_cell_encode`` — bit-identical to the numpy kernel,
+    test_col_cell_encode_matches_numpy), so consumers that only need
+    cells (the partitioned cogroup path, multi-res rollups) pay NO
+    Python boundary at all. Only ``tile_id`` still crosses Arrow, as a
+    narrow (lon, lat) → long scalar pandas_udf rather than the old
+    full-frame mapInPandas: the WebMercator y uses log/tan/cos, where
+    numpy and the JVM's libm may differ in the last ulp — a floor flip
+    at a tile boundary would change declared tile-query outputs, so the
+    numpy kernel stays authoritative. Catalyst prunes the unused
+    ArrowEvalPython when a consumer never touches tile_id."""
     res_sorted = sorted(resolutions)
     finest = res_sorted[-1]
-    out_fields = df.schema.fields + [
-        T.StructField(f"cell_r{r}", T.LongType()) for r in res_sorted
-    ] + [T.StructField("tile_id", T.LongType())]
-    out_schema = T.StructType(out_fields)
+    base = cells.col_cell_encode(F.col(lon_col), F.col(lat_col), finest)
+    out = df
+    for r in res_sorted:
+        out = out.withColumn(f"cell_r{r}", F.shiftright(base, 2 * (finest - r)))
 
-    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            lon = pdf[lon_col].to_numpy(dtype=np.float64)
-            lat = pdf[lat_col].to_numpy(dtype=np.float64)
-            base = cells.cell_encode(lon, lat, finest)
-            for r in res_sorted:
-                pdf[f"cell_r{r}"] = base >> (2 * (finest - r))
-            pdf["tile_id"] = cells.tile_encode(lon, lat, tile_z)
-            yield pdf
+    @F.pandas_udf(T.LongType())
+    def _tile(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(
+            cells.tile_encode(
+                lon.to_numpy(dtype=np.float64),
+                lat.to_numpy(dtype=np.float64),
+                tile_z,
+            )
+        )
 
-    return df.mapInPandas(_encode, out_schema)
+    return out.withColumn("tile_id", _tile(F.col(lon_col), F.col(lat_col)))
 
 
 # Broadcast budget for the zone geometry index. The reference assumes

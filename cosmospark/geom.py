@@ -78,81 +78,178 @@ _EDGE_TILE = 256
 _TILE_ELEMS = 1 << 15  # 32k float64 = 256 KB per temporary
 
 
-def _crossings(px: np.ndarray, py: np.ndarray, xs, ys) -> np.ndarray:
-    """Even-odd ray-cast crossing counts of points against one ring.
-
-    Vectorized over points AND edges, in (point × edge) tiles sized so
-    every temporary is L2-resident. The upward-ray convention
-    (y1 <= py < y2) handles vertices exactly once.
-    """
-    x1, y1, x2, y2 = _ring_edges(xs, ys)
-    e = len(x1)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        dyall = np.where(y2 - y1 == 0, np.inf, y2 - y1)
-        dxall = x2 - x1
-    out = np.zeros(len(px), dtype=np.int64)
-    et = min(e, _EDGE_TILE)
-    pstep = max(128, _TILE_ELEMS // max(et, 1))
-    for es in range(0, e, et):
-        ex1 = x1[es : es + et][None, :]
-        ey1 = y1[es : es + et][None, :]
-        ey2 = y2[es : es + et][None, :]
-        edy = dyall[es : es + et][None, :]
-        edx = dxall[es : es + et][None, :]
-        for s in range(0, len(px), pstep):
-            p = px[s : s + pstep][:, None]
-            q = py[s : s + pstep][:, None]
-            cond = (ey1 <= q) != (ey2 <= q)
-            t = (q - ey1) / edy
-            xint = ex1 + t * edx
-            out[s : s + pstep] += (cond & (p < xint)).sum(axis=1)
-    return out
+# point-tile width of the y-banded kernels: per tile an O(E) edge
+# prefilter runs once, then only the surviving edges pay the
+# (points × edges) arithmetic — 512 keeps the prefilter overhead
+# negligible while keeping tiles y-narrow enough that localized point
+# sets (a cogroup cell, a raster pixel row, a child zone's samples)
+# drop ~all of a large polygon's edges
+_BAND_PTS = 512
 
 
 def pip(px: np.ndarray, py: np.ndarray, rings: list[Ring]) -> np.ndarray:
     """Strict even-odd point-in-multipolygon (boundary points undefined;
-    use ``pip_covers`` for boundary-inclusive)."""
+    use ``pip_covers`` for boundary-inclusive).
+
+    r7: points are processed in y-sorted tiles and each tile prefilters
+    the polygon's edges EXACTLY — an edge contributes a crossing to
+    point (p, q) only if q ∈ [min(ey), max(ey)) (the upward-ray
+    convention) and the edge has x-extent right of p, so edges whose
+    y-span misses the tile's [qmin, qmax] band or whose max x is left of
+    the tile's min x contribute zero to every point in the tile.
+    Per-pair arithmetic is unchanged, so results are bit-identical to
+    the untiled kernel; for spatially-localized query sets (cogroup
+    cells, sample points of a small child zone) the per-tile edge count
+    collapses from |E| to the handful crossing the band.
+    """
     px = np.asarray(px, dtype=np.float64)
     py = np.asarray(py, dtype=np.float64)
-    result = np.zeros(len(px), dtype=bool)
+    n = len(px)
+    result = np.zeros(n, dtype=bool)
+    if n == 0 or not rings:
+        return result
+    order = np.argsort(py, kind="stable")
+    spx = px[order]
+    spy = py[order]
+    res_s = np.zeros(n, dtype=bool)
     polys: dict[int, list[Ring]] = {}
     for r in rings:
         polys.setdefault(r[0], []).append(r)
     for poly_rings in polys.values():
-        cross = np.zeros(len(px), dtype=np.int64)
+        xs1, ys1, xs2, ys2 = [], [], [], []
         for _, _, xs, ys in poly_rings:
-            cross += _crossings(px, py, xs, ys)
-        result |= (cross % 2) == 1
+            x1, y1, x2, y2 = _ring_edges(xs, ys)
+            xs1.append(x1)
+            ys1.append(y1)
+            xs2.append(x2)
+            ys2.append(y2)
+        x1 = np.concatenate(xs1)
+        y1 = np.concatenate(ys1)
+        x2 = np.concatenate(xs2)
+        y2 = np.concatenate(ys2)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dyall = np.where(y2 - y1 == 0, np.inf, y2 - y1)
+            dxall = x2 - x1
+        eylo = np.minimum(y1, y2)
+        eyhi = np.maximum(y1, y2)
+        exhi = np.maximum(x1, x2)
+        cross = np.zeros(n, dtype=np.int64)
+        for s in range(0, n, _BAND_PTS):
+            hi = min(n, s + _BAND_PTS)
+            q = spy[s:hi]
+            p = spx[s:hi]
+            sel = (eyhi > q[0]) & (eylo <= q[-1]) & (exhi > p.min())
+            ns = int(np.count_nonzero(sel))
+            if ns == 0:
+                continue
+            bx1 = x1[sel]
+            by1 = y1[sel]
+            by2 = y2[sel]
+            bdy = dyall[sel]
+            bdx = dxall[sel]
+            pcol = p[:, None]
+            qcol = q[:, None]
+            et = min(ns, _EDGE_TILE)
+            for es in range(0, ns, et):
+                e1 = bx1[es : es + et][None, :]
+                f1 = by1[es : es + et][None, :]
+                f2 = by2[es : es + et][None, :]
+                gdy = bdy[es : es + et][None, :]
+                gdx = bdx[es : es + et][None, :]
+                cond = (f1 <= qcol) != (f2 <= qcol)
+                t = (qcol - f1) / gdy
+                xint = e1 + t * gdx
+                cross[s:hi] += (cond & (pcol < xint)).sum(axis=1)
+        res_s |= (cross & 1) == 1
+    result[order] = res_s
     return result
 
 
 def on_boundary(px: np.ndarray, py: np.ndarray, rings: list[Ring], eps: float = EPS) -> np.ndarray:
-    """Point lies on any ring segment (within eps)."""
+    """Point lies on any ring segment (within eps).
+
+    r7: same y-sorted tiling as ``pip`` with an exact bbox prefilter —
+    a point within eps of a segment necessarily lies inside the
+    segment's bbox expanded by eps, so edges whose expanded bbox misses
+    the tile's point bbox are skipped wholesale."""
     px = np.asarray(px, dtype=np.float64)
     py = np.asarray(py, dtype=np.float64)
-    out = np.zeros(len(px), dtype=bool)
+    n = len(px)
+    out = np.zeros(n, dtype=bool)
+    if n == 0 or not rings:
+        return out
+    xs1, ys1, xs2, ys2 = [], [], [], []
     for _, _, xs, ys in rings:
         x1, y1, x2, y2 = _ring_edges(xs, ys)
-        e = len(x1)
-        dx = (x2 - x1)[None, :]
-        dy = (y2 - y1)[None, :]
-        seg_len2 = np.where(dx * dx + dy * dy == 0, 1.0, dx * dx + dy * dy)
-        step = max(64, _TILE_ELEMS // max(e, 1))
-        for s in range(0, len(px), step):
-            wx = px[s : s + step][:, None] - x1[None, :]
-            wy = py[s : s + step][:, None] - y1[None, :]
-            t = np.clip((wx * dx + wy * dy) / seg_len2, 0.0, 1.0)
-            distx = wx - t * dx
-            disty = wy - t * dy
+        xs1.append(x1)
+        ys1.append(y1)
+        xs2.append(x2)
+        ys2.append(y2)
+    x1 = np.concatenate(xs1)
+    y1 = np.concatenate(ys1)
+    x2 = np.concatenate(xs2)
+    y2 = np.concatenate(ys2)
+    dx = x2 - x1
+    dy = y2 - y1
+    seg_len2 = np.where(dx * dx + dy * dy == 0, 1.0, dx * dx + dy * dy)
+    exlo = np.minimum(x1, x2) - eps
+    exhi = np.maximum(x1, x2) + eps
+    eylo = np.minimum(y1, y2) - eps
+    eyhi = np.maximum(y1, y2) + eps
+    order = np.argsort(py, kind="stable")
+    spx = px[order]
+    spy = py[order]
+    out_s = np.zeros(n, dtype=bool)
+    for s in range(0, n, _BAND_PTS):
+        hi = min(n, s + _BAND_PTS)
+        q = spy[s:hi]
+        p = spx[s:hi]
+        sel = (
+            (eyhi >= q[0])
+            & (eylo <= q[-1])
+            & (exhi >= p.min())
+            & (exlo <= p.max())
+        )
+        ns = int(np.count_nonzero(sel))
+        if ns == 0:
+            continue
+        bx1 = x1[sel]
+        by1 = y1[sel]
+        bdx = dx[sel]
+        bdy = dy[sel]
+        bsl = seg_len2[sel]
+        pcol = p[:, None]
+        qcol = q[:, None]
+        et = min(ns, _EDGE_TILE)
+        for es in range(0, ns, et):
+            gx1 = bx1[es : es + et][None, :]
+            gy1 = by1[es : es + et][None, :]
+            gdx = bdx[es : es + et][None, :]
+            gdy = bdy[es : es + et][None, :]
+            gsl = bsl[es : es + et][None, :]
+            wx = pcol - gx1
+            wy = qcol - gy1
+            t = np.clip((wx * gdx + wy * gdy) / gsl, 0.0, 1.0)
+            distx = wx - t * gdx
+            disty = wy - t * gdy
             d2 = distx * distx + disty * disty
-            out[s : s + step] |= (d2 <= eps * eps).any(axis=1)
+            out_s[s:hi] |= (d2 <= eps * eps).any(axis=1)
+    out[order] = out_s
     return out
 
 
 def pip_covers(px: np.ndarray, py: np.ndarray, rings: list[Ring]) -> np.ndarray:
     """Boundary-inclusive point-in-multipolygon (GEOS covers semantics
-    for a point operand)."""
-    return pip(px, py, rings) | on_boundary(px, py, rings)
+    for a point operand). r7: the boundary-distance kernel (the more
+    expensive of the two) only runs on points the even-odd test did not
+    already accept — identical result to ``pip | on_boundary``."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    inside = pip(px, py, rings)
+    rem = ~inside
+    if rem.any():
+        inside[rem] = on_boundary(px[rem], py[rem], rings)
+    return inside
 
 
 def _segments(rings: list[Ring]):
@@ -217,8 +314,11 @@ def covers(rings_a: list[Ring], rings_b: list[Ring]) -> bool:
     if not bbox_contains_bbox(bbox(rings_a), bbox(rings_b)):
         return False
     px, py = _sample_points(rings_b)
-    inside = pip(px, py, rings_a) | on_boundary(px, py, rings_a)
-    if not inside.all():
+    # r7: the boundary-distance kernel only runs on samples the even-odd
+    # test missed (identical decision to `(pip | on_boundary).all()`) —
+    # for true containment pairs that subset is empty or tiny
+    miss = ~pip(px, py, rings_a)
+    if miss.any() and not on_boundary(px[miss], py[miss], rings_a).all():
         return False
     if segments_properly_cross(rings_a, rings_b):
         return False
@@ -235,8 +335,10 @@ def covers(rings_a: list[Ring], rings_b: list[Ring]) -> bool:
         if not bbox_overlaps(hb, bb):
             continue
         hx, hy = _sample_points([(p, r, xs, ys)])
-        strict = pip(hx, hy, rings_b) & ~on_boundary(hx, hy, rings_b)
-        if strict.any():
+        inb = pip(hx, hy, rings_b)
+        # strictly-interior ⟺ inside and not on B's boundary; only the
+        # inside samples can be strict, so test boundary on those alone
+        if inb.any() and (~on_boundary(hx[inb], hy[inb], rings_b)).any():
             return False
     return True
 
@@ -246,10 +348,10 @@ def intersects(rings_a: list[Ring], rings_b: list[Ring]) -> bool:
     if not bbox_overlaps(bbox(rings_a), bbox(rings_b)):
         return False
     pbx, pby = _sample_points(rings_b)
-    if (pip(pbx, pby, rings_a) | on_boundary(pbx, pby, rings_a)).any():
+    if pip(pbx, pby, rings_a).any() or on_boundary(pbx, pby, rings_a).any():
         return True
     pax, pay = _sample_points(rings_a)
-    if (pip(pax, pay, rings_b) | on_boundary(pax, pay, rings_b)).any():
+    if pip(pax, pay, rings_b).any() or on_boundary(pax, pay, rings_b).any():
         return True
     return segments_properly_cross(rings_a, rings_b)
 

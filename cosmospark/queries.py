@@ -2053,21 +2053,21 @@ def q_substring_dedup(spark, sf_dir):
     # directly on the scan stage; a single-row-group file would run it
     # 1-wide (no-op on many-file inputs — see _widen_if_narrow)
     d = _widen_if_narrow(spark, d, "doc_id")
-    # pass-1 window key: xxhash64 over the token SLICE (HashExpression
-    # hashes array elements in order), not over a joined string — the
-    # join/compare key only needs to be deterministic and collision-
-    # checked later, and skipping array_join avoids materializing every
-    # window's text (k tokens copied per window, corpus-wide) just to
-    # hash it (r7, guide §4.2 spirit: don't build bytes you only hash).
-    # Tokens are space-split so slice↔text is bijective, and pass 2
-    # still re-verifies on the real text: a collision under either hash
-    # cannot fabricate a duplicate.
+    # pass-1 window key: MULTI-ARG xxhash64 over the k window tokens
+    # (element_at, no slice) — the join/compare key only needs to be
+    # deterministic and collision-checked later, and the multi-arg form
+    # hashes the same k strings without allocating a k-element array
+    # copy per window (r7: 1.21 s → 0.84 s for the corpus window pass
+    # at sf1.0; the r6 array_join form also built every window's text).
+    # Pass 2 still re-verifies on the real text: a collision under any
+    # of these hashes cannot fabricate a duplicate.
+    _h_args = ", ".join(f"element_at(t, i + {j + 1})" for j in range(k))
     wins = d.select(
         "doc_id",
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, size(t) - {k}),"
-                f" i -> xxhash64(slice(t, i + 1, {k})))"
+                f" i -> xxhash64({_h_args}))"
             )
         ).alias("pos", "h"),
     )
@@ -2096,6 +2096,11 @@ def q_substring_dedup(spark, sf_dir):
         "h",
         F.expr(f"array_join(slice(t, pos + 1, {k}), ' ')").alias("w"),
     )
+    # hw feeds BOTH the text verification aggregate and the verified-row
+    # semi-join; uncached, the hits⋈d join (with its d-side exchange)
+    # executed twice (r7 — observed as twin 40 MB exchanges). It is
+    # O(duplicated windows), the sliver the span merge processes anyway.
+    _cache_generation("substring_dedup_hw", hw)
     ver = (
         hw.groupBy("h", "w")
         .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
@@ -2639,7 +2644,15 @@ def _ngram_jaccard_bitmask(spark, d, n_words: int, mask_bytes: int, budget):
         .groupBy("doc_id", "source", "sz")
         .agg(*mask_aggs)
     )
-    _cache_generation("ngram_jaccard", masks)
+    # r7: EAGER materialization, not a lazy cache — the pair join's two
+    # sides (probe + broadcast build) are materialized as CONCURRENT
+    # AQE jobs, and a lazy cache races: both jobs computed the full
+    # corpus mask pass before either populated it (two ~1.5 s corpus
+    # scans, observed as twin stages in the job timeline). The mask
+    # table is NODE-scale (n_docs rows, ≤ the broadcast budget by the
+    # dispatch gate), so the checkpoint is trivial and both sides then
+    # read materialized rows.
+    masks = masks.localCheckpoint(eager=True)
     ma = masks.select(
         F.col("doc_id").alias("doc_a"),
         "source",
@@ -2727,9 +2740,16 @@ def q_ngram_jaccard(spark, sf_dir, broadcast_budget_bytes: int | None = None):
     side fits the broadcast budget, dispatch to the bitmask path
     (_ngram_jaccard_bitmask); identical output by construction, and
     test_plans.py pins result parity across both strategies."""
-    return _ngram_jaccard_pairs(spark, sf_dir, broadcast_budget_bytes).orderBy(
-        "doc_a", "doc_b"
-    )
+    # r7: cache the pair set under the presentation sort — a global
+    # orderBy range-partitions, and its bound-sampling pass executes the
+    # full candidate join a SECOND time before the real pass (measured:
+    # unordered pairs 2.3 s vs 13.4 s through the uncached sort at
+    # sf1.0). The cache materializes inside the sampling job and the
+    # range exchange then reads columnar batches; generation-scoped so
+    # the next invocation releases it (ADVICE r3 lifecycle rule).
+    pairs = _ngram_jaccard_pairs(spark, sf_dir, broadcast_budget_bytes)
+    _cache_generation("ngram_pairs", pairs)
+    return pairs.orderBy("doc_a", "doc_b")
 
 
 def _ngram_jaccard_pairs(spark, sf_dir, broadcast_budget_bytes: int | None = None):
@@ -4760,13 +4780,18 @@ def q_decontaminate(spark, sf_dir):
     # sits directly on the scan stage (see _widen_if_narrow)
     d = _widen_if_narrow(spark, d, "doc_id")
     # r7 probe-key change (guide §1.2 per-task work): the corpus side
-    # probes the benchmark set with xxhash64 over the token SLICE —
-    # window TEXT is materialized only (a) once on the tiny benchmark
-    # side and (b) for corpus rows that survive the hash probe (the
-    # contaminated sliver), instead of array_join'ing every corpus
-    # window up front. Tokens are space-split so slice↔text is
-    # bijective; stage 2 still verifies gram TEXT equality, so the
-    # probe hash choice cannot change the result.
+    # probes the benchmark set with a MULTI-ARG xxhash64 over the
+    # window's 13 tokens (element_at, no slice) — window TEXT is
+    # materialized only (a) once on the tiny benchmark side and (b) for
+    # corpus rows that survive the hash probe (the contaminated
+    # sliver); the multi-arg form additionally skips allocating a
+    # 13-element array copy per corpus window (−30% on the window pass,
+    # measured on the substring_dedup twin). Stage 2 still verifies
+    # gram TEXT equality, so the probe hash choice cannot change the
+    # result.
+    _h_args = ", ".join(
+        f"element_at(t, i + {j + 1})" for j in range(DECON_W)
+    )
     corpus = d.filter(F.col("doc_id") % DECON_BENCH_MOD != 0).select(
         "doc_id",
         "t",
@@ -4774,7 +4799,7 @@ def q_decontaminate(spark, sf_dir):
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, size(t) - {DECON_W}),"
-                f" i -> xxhash64(slice(t, i + 1, {DECON_W})))"
+                f" i -> xxhash64({_h_args}))"
             )
         ).alias("pos", "h"),
     )
@@ -4789,7 +4814,7 @@ def q_decontaminate(spark, sf_dir):
                 F.expr(
                     f"transform(sequence(0, size(t) - {DECON_W}),"
                     f" i -> named_struct("
-                    f"'h', xxhash64(slice(t, i + 1, {DECON_W})),"
+                    f"'h', xxhash64({_h_args}),"  # same key as the corpus probe
                     f" 'w', array_join(slice(t, i + 1, {DECON_W}), ' ')))"
                 )
             ).alias("e")

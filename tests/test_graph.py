@@ -46,7 +46,9 @@ def test_star_round_implementations_agree(spark):
         _small_star,
         _small_star_bc,
         _star_round_bc,
+        _star_round_oriented,
     )
+    from pyspark.sql import functions as F
 
     rng = random.Random(13)
     for trial in range(3):
@@ -68,7 +70,16 @@ def test_star_round_implementations_agree(spark):
             map(tuple, _small_star_bc(_large_star_bc(e)).distinct().collect())
         )
         fused = sorted(map(tuple, _star_round_bc(e).distinct().collect()))
-        assert win == two == fused, f"trial {trial} diverged"
+        # the oriented fused round (what connected_components runs on
+        # the broadcast path) requires u > v input — the loop's own
+        # normalization — and must produce the same post-distinct set
+        eo = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        oriented = sorted(
+            map(tuple, _star_round_oriented(eo).distinct().collect())
+        )
+        assert win == two == fused == oriented, f"trial {trial} diverged"
 
 
 def test_dataset_split_branches_and_leakage_safety(spark):

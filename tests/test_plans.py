@@ -103,7 +103,12 @@ def test_ngram_token_join_broadcast_is_budget_gated(spark):
         over = _plan(Q.q_ngram_jaccard(spark, SF_DIR, broadcast_budget_bytes=0))
         assert "SortMergeJoin [doc_a" in over or "ShuffledHashJoin [doc_a" in over
         under = _plan(Q.q_ngram_jaccard(spark, SF_DIR))
-        assert over.count("BroadcastExchange") < under.count("BroadcastExchange")
+        # under budget the bitmask path broadcasts the doc-mask side of
+        # the same-source candidate join (r7: the mask lineage is
+        # checkpointed, so its upstream vocab broadcast no longer appears
+        # in this plan — assert the join strategy itself, not exchange
+        # counts)
+        assert "BroadcastHashJoin" in under
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     # result parity between the two strategies (same rows either way)
