@@ -280,6 +280,40 @@ def encode_points(
 # already refuses (hierarchy.py geometry-join comment).
 BROADCAST_BUDGET_BYTES = 256 << 20
 
+# target rows per Python refine bucket (see _refine_buckets): small
+# enough that one bucket's points + candidate output fit comfortably in
+# a worker's memory, large enough that the per-invocation Arrow/pandas
+# overhead amortizes (~50k rows ≈ 2 MB of (pid, lon, lat))
+_REFINE_BUCKET_ROWS = 50_000
+
+
+def _refine_buckets(points: DataFrame, explode_factor: int) -> int:
+    """Bucket count for the cogroup PIP refine, derived from the fact
+    side's Catalyst size estimate (free — no job). r7: the refine used
+    to cogroup directly on (res, cell), which at a fine zone index
+    means tens of thousands of TINY groups — and per-group
+    Arrow↔pandas overhead, not PIP arithmetic, measured as ~90 % of the
+    path's CPU (77 CPU-s for ~2 s of kernel math on the 2M-point bench
+    mix). Hashing cells into ~rows/50k buckets keeps the identical
+    pairing logic (the kernel regroups per cell in numpy) while cutting
+    Python invocations by orders of magnitude. Accuracy within a few ×
+    is fine; the clamp bounds both ends, and bucket count scales with
+    the input (never a local[32]-tuned constant)."""
+    try:
+        stats = points._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            n = int(str(rc.get()))
+        else:
+            n = max(1, int(str(stats.sizeInBytes())) // 48)
+    except Exception:  # plan stats unavailable — conservative default
+        n = 1 << 22
+    n *= max(1, explode_factor)
+    b = 1
+    while b * _REFINE_BUCKET_ROWS < n and b < (1 << 20):
+        b <<= 1
+    return max(b, 64)
+
 
 def estimate_zone_geom_bytes(zones: DataFrame) -> int:
     """Estimated in-memory size of the broadcast ZoneIndex: 16 bytes per
@@ -528,27 +562,84 @@ def assign_zones_partitioned(
         ]
     )
 
-    def _pip_group(key, pg: pd.DataFrame, zg: pd.DataFrame) -> pd.DataFrame:
-        if len(pg) == 0 or len(zg) == 0:
-            return pd.DataFrame(
+    def _make_pip_bucket(key_cols: list[str]):
+        """Kernel for one HASH BUCKET of (res, cell[, salt]) groups
+        (r7). The bucket kernel regroups its point rows per cell with
+        one lexsort and evaluates exactly the same (point, zone-row)
+        pairs the per-cell cogroup did — same pip_covers kernel, same
+        inputs, so the candidate set is identical; only the Python
+        invocation count changes (tens of thousands of tiny per-cell
+        calls → one per bucket). Ring unpacking memoizes per zone_id
+        within the bucket (a zone's geometry repeats across its
+        boundary cells)."""
+
+        def _pip_bucket(key, pg: pd.DataFrame, zg: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
                 {f.name: pd.Series(dtype="object") for f in cand_schema.fields}
             )
-        lon = pg[lon_col].to_numpy(dtype=np.float64)
-        lat = pg[lat_col].to_numpy(dtype=np.float64)
-        pids = pg[id_col].to_numpy()
-        out_pid, out_zid, out_rank, out_area = [], [], [], []
-        for zrow in zg.itertuples(index=False):
-            rr = geom.unpack_rings(zrow.rings_bin)
-            hit = geom.pip_covers(lon, lat, rr)
-            idxs = np.nonzero(hit)[0]
-            if len(idxs):
-                out_pid.extend(pids[idxs])
-                out_zid.extend([zrow.zone_id] * len(idxs))
-                out_rank.extend([zrow.rank] * len(idxs))
-                out_area.extend([zrow.area] * len(idxs))
-        return pd.DataFrame(
-            {"pid": out_pid, "zone_id": out_zid, "rank": out_rank, "area": out_area}
-        )
+            if len(pg) == 0 or len(zg) == 0:
+                return empty
+            # positional access: itertuples mangles leading-underscore
+            # names (the _salt key), so index numpy views instead
+            z_keys = [zg[c].to_numpy() for c in key_cols]
+            z_zid = zg["zone_id"].to_numpy()
+            z_rank = zg["rank"].to_numpy()
+            z_area = zg["area"].to_numpy()
+            z_bin = zg["rings_bin"].to_list()
+            zmap: dict = {}
+            for i in range(len(zg)):
+                zmap.setdefault(
+                    tuple(int(c[i]) for c in z_keys), []
+                ).append(i)
+            lon = pg[lon_col].to_numpy(dtype=np.float64)
+            lat = pg[lat_col].to_numpy(dtype=np.float64)
+            pids = pg[id_col].to_numpy()
+            kcols = [pg[c].to_numpy() for c in key_cols]
+            order = np.lexsort(kcols[::-1])
+            ks = [c[order] for c in kcols]
+            n = len(order)
+            brk = np.zeros(n, dtype=bool)
+            brk[0] = True
+            for c in ks:
+                brk[1:] |= c[1:] != c[:-1]
+            starts = np.flatnonzero(brk)
+            ends = np.append(starts[1:], n)
+            rmemo: dict = {}
+            out_pid, out_zid, out_rank, out_area = [], [], [], []
+            for s, e in zip(starts, ends):
+                zrows = zmap.get(tuple(int(c[s]) for c in ks))
+                if not zrows:
+                    continue
+                idx = order[s:e]
+                gl = lon[idx]
+                gt = lat[idx]
+                gp = pids[idx]
+                for zi in zrows:
+                    zid = int(z_zid[zi])
+                    rr = rmemo.get(zid)
+                    if rr is None:
+                        rr = rmemo[zid] = geom.unpack_rings(z_bin[zi])
+                    hit = geom.pip_covers(gl, gt, rr)
+                    hidx = np.nonzero(hit)[0]
+                    if len(hidx):
+                        out_pid.append(gp[hidx])
+                        out_zid.append(np.full(len(hidx), zid, dtype=np.int64))
+                        out_rank.append(
+                            np.full(len(hidx), int(z_rank[zi]), dtype=np.int32)
+                        )
+                        out_area.append(np.full(len(hidx), float(z_area[zi])))
+            if not out_pid:
+                return empty
+            return pd.DataFrame(
+                {
+                    "pid": np.concatenate(out_pid),
+                    "zone_id": np.concatenate(out_zid),
+                    "rank": np.concatenate(out_rank),
+                    "area": np.concatenate(out_area),
+                }
+            )
+
+        return _pip_bucket
 
     def _maybe_bc(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if keys_small else df
@@ -629,10 +720,17 @@ def assign_zones_partitioned(
                 .drop("_hot")
             )
             group_keys = ["res", "cell", "_salt"]
+    # r7: cogroup on a HASH BUCKET of the group key, not the raw
+    # (res, cell[, salt]) — see _refine_buckets. Salted sub-groups of a
+    # hot cell hash to different buckets, so the salting contract (one
+    # megacity cell never lands on one task) is preserved.
+    n_buckets = _refine_buckets(points, len(res_list))
+    bcol = F.pmod(F.xxhash64(*group_keys), F.lit(n_buckets))
     cand = (
-        pref.groupBy(*group_keys)
-        .cogroup(zref.groupBy(*group_keys))
-        .applyInPandas(_pip_group, cand_schema)
+        pref.withColumn("_b", bcol)
+        .groupBy("_b")
+        .cogroup(zref.withColumn("_b", bcol).groupBy("_b"))
+        .applyInPandas(_make_pip_bucket(group_keys), cand_schema)
         .unionByName(full_hits)
     )
     winners = cand.groupBy("pid").agg(

@@ -220,6 +220,36 @@ class TestSparkJobs:
             A.BROADCAST_BUDGET_BYTES = saved
         assert [r["zone_id"] for r in part0] == [r["zone_id"] for r in base]
 
+    def test_partitioned_bucket_regrouping(self, spark, monkeypatch):
+        # r7: the cogroup keys on a hash BUCKET of (res, cell), and the
+        # kernel regroups per cell internally. Force every cell into
+        # ONE bucket so the in-kernel lexsort/run-split logic carries
+        # the whole pairing — output must still match the broadcast
+        # path exactly (including at a second, prime bucket count).
+        import cosmospark.assign as A
+        from cosmospark.fixtures import detailed_lux_zones
+
+        zones = spark.createDataFrame(
+            detailed_lux_zones(64), schema=ZONES_RAW_SCHEMA
+        ).cache()
+        rng = np.random.default_rng(33)
+        pts = [
+            (int(i), float(lon), float(lat))
+            for i, (lon, lat) in enumerate(
+                zip(rng.uniform(1, 17, 400), rng.uniform(43, 55, 400))
+            )
+        ]
+        pdf = spark.createDataFrame(pts, "pid long, lon double, lat double")
+        base = assign_zones(pdf, zones).orderBy("pid").collect()
+        for nb in (1, 7):
+            monkeypatch.setattr(A, "_refine_buckets", lambda p, f, _n=nb: _n)
+            part = assign_zones(
+                pdf, zones, strategy="partitioned", id_col="pid"
+            ).orderBy("pid").collect()
+            assert [r["zone_id"] for r in part] == [
+                r["zone_id"] for r in base
+            ], f"bucket count {nb}"
+
     def test_salted_count(self, spark):
         df = spark.range(1000).withColumn("k", F.pmod(F.col("id"), F.lit(3)))
         got = {r["k"]: r["n"] for r in salted_count(df, ["k"], n_salt=8).collect()}
