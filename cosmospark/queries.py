@@ -3476,6 +3476,11 @@ def q_semdedup(spark, sf_dir):
         .cast("int")
         .alias("list_id"),
     )
+    # r7: the K×dim centroid-score fold is an INTERPRETED higher-order
+    # expression (aggregate/zip_with never enter whole-stage codegen)
+    # and lists feeds both the pair cogroup and the final projection —
+    # cache one generation so the fold runs once, not twice
+    _cache_generation("semdedup_lists", lists)
     cand = _blocked_cosine_pairs(lists, "list_id", _EMB_PRUNE_T)
     # exact re-score with the sequential fold (bit-identical to DuckDB)
     va = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
@@ -3626,13 +3631,23 @@ def q_minhash_lsh_pairs(spark, sf_dir):
         "nsh", F.size("shingles")
     )
     n_hash, n_bands = 16, 4
-    mh_cols = [
-        F.expr(
-            f"array_min(transform(shingles, s -> xxhash64(s, {seed})))"
-        ).alias(f"mh{seed}")
-        for seed in range(n_hash)
-    ]
-    sig = shingled.select("doc_id", "shingles", *mh_cols)
+    # r7 second pass: the per-seed `array_min(transform(shingles, s ->
+    # xxhash64(s, seed)))` lambdas are INTERPRETED (higher-order
+    # functions never enter whole-stage codegen) — 16 of them re-walked
+    # every shingle array per row for ~69 CPU-s at sf1.0. Exploding the
+    # (already-distinct) shingle arrays once and taking 16
+    # map-side-combined min(xxhash64(s, seed)) aggregates computes the
+    # IDENTICAL minima (min over the same multiset of the same seeded
+    # hashes — the int literal seed keeps the same IntegerType the SQL
+    # text had) with every hash in codegen; the one added exchange
+    # carries doc-scale partial minima (50k × 16 longs), not shingles.
+    ex = shingled.select("doc_id", F.explode("shingles").alias("s"))
+    sig = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("s"), F.lit(seed))).alias(f"mh{seed}")
+            for seed in range(n_hash)
+        ]
+    )
     rows_per_band = n_hash // n_bands
     # ONE pass over the signatures: every band's (band, bucket) pair is
     # computed in the same projection and exploded to rows. The r4 shape
@@ -3797,28 +3812,43 @@ SIMHASH_HAM_T = 3
 SIMHASH_BANDS = 4  # 4 bands × (BITS/4) bits: pigeonhole-exact at hamming ≤ 3
 
 
-def _simhash_fp_col():
-    """SINGLE-pass SimHash: hash each word once (``transform``), fold the
-    hash array once into a 16-lane vote vector (``aggregate`` whose
-    accumulator is the array of per-bit vote counts), then assemble the
-    fingerprint in the finish lambda. Round 2 ran 16 separate
-    ``aggregate(split(text), ...)`` folds — 16 full tokenize+hash passes
-    per row (64 at production width); this is one tokenize, one hash per
-    word, one fold."""
+def _simhash_fp_df(d, keys: list[str]):
+    """Fingerprints via explode + 64 codegen'd vote sums (r7 second
+    pass). The previous single-pass fold (aggregate over
+    transform(split(text)) with a 64-lane zip_with accumulator) was an
+    interpreted higher-order expression — per word it walked the lanes
+    in the expression interpreter (24.6 executor-CPU-s at sf1.0).
+    Vote convention unchanged: bit i of the word hash — (h >> i) % 2 =
+    0 votes -1 else +1 (negative h falls to +1 under both % and &
+    conventions, matching the DuckDB oracle's (h >> i) & 1 test).
+    Exploding the words and summing CASE votes per bit computes the
+    IDENTICAL integers (same ±1 votes over the same word hashes,
+    order-independent sums, same `> 0` assembly — shiftright/%2
+    semantics untouched) with every op in whole-stage codegen; the
+    exchange carries doc-scale partial vote vectors (64 longs/doc),
+    and split() never yields an empty array (worst case [""]), so no
+    group disappears."""
     n = SIMHASH_BITS
-    return F.expr(
-        f"aggregate("
-        f"  transform(split(text, ' '), w -> xxhash64(w)),"
-        f"  array_repeat(0L, {n}),"
-        # vote: bit i of the word hash — (h >> i) % 2 = 0 votes -1 else
-        # +1 (negative h falls to +1 under both % and & conventions,
-        # matching the DuckDB oracle's (h >> i) & 1 test)
-        f"  (acc, h) -> zip_with(acc, sequence(0, {n - 1}),"
-        f"      (a, i) -> a + (case when shiftright(h, i) % 2 = 0 then -1L else 1L end)),"
-        f"  votes -> aggregate(zip_with(votes, sequence(0, {n - 1}),"
-        f"      (v, i) -> case when v > 0 then shiftleft(1L, i) else 0L end),"
-        f"    0L, (a, b) -> a | b))"
+    # hash each word ONCE in a standalone projection: Catalyst's
+    # CollapseProject keeps a non-cheap alias referenced 64× as its own
+    # Project, so the plan carries a single xxhash64 per word (the
+    # test_simhash_single_pass invariant) feeding all 64 vote sums
+    ex = d.select(*keys, F.explode(F.split("text", " ")).alias("w")).select(
+        *keys, F.xxhash64("w").alias("h")
     )
+    votes = [
+        F.sum(
+            F.expr(f"case when shiftright(h, {i}) % 2 = 0 then -1L else 1L end")
+        ).alias(f"v{i}")
+        for i in range(n)
+    ]
+    fp = F.expr(
+        " | ".join(
+            f"(case when v{i} > 0 then shiftleft(1L, {i}) else 0L end)"
+            for i in range(n)
+        )
+    )
+    return ex.groupBy(*keys).agg(*votes).select(*keys, fp.alias("simhash"))
 
 
 def q_simhash(spark, sf_dir):
@@ -3826,12 +3856,12 @@ def q_simhash(spark, sf_dir):
     DuckDB oracle joins a materialized (word → xxhash64) table (computed
     with the validated Python XXH64) and re-derives the per-bit majority
     vote + bit assembly relationally."""
-    # conditional splittability guard (r7): the hash-vote fold sits on
+    # conditional splittability guard (r7): the hash-vote pass sits on
     # the scan stage (see _widen_if_narrow)
     d = _widen_if_narrow(
         spark, _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
     )
-    return d.select("doc_id", _simhash_fp_col().alias("simhash")).orderBy("doc_id")
+    return _simhash_fp_df(d, ["doc_id"]).orderBy("doc_id")
 
 
 def sql_simhash(sf_dir: str) -> str:
@@ -3879,12 +3909,12 @@ def q_simhash_pairs(spark, sf_dir):
     # 64-lane fold runs on the scan stage; a single-row-group file would
     # cap it 1-wide. No-op on a many-file input.
     d = _widen_if_narrow(spark, d, "doc_id")
-    # materialize fingerprints ONCE: without this the 64-lane fold
-    # expression inlines into the band generator and both self-join
-    # sides — ~8 full fold evaluations per doc (measured 5.3 s → 1.5 s
-    # at sf0.1). Checkpoint blocks free with the plan (ContextCleaner).
-    fp = d.select(
-        "doc_id", "source", _simhash_fp_col().alias("simhash")
+    # materialize fingerprints ONCE: without this the vote pass inlines
+    # into the band generator and both self-join sides — ~8 full
+    # evaluations per doc (measured 5.3 s → 1.5 s at sf0.1).
+    # Checkpoint blocks free with the plan (ContextCleaner).
+    fp = _simhash_fp_df(
+        d.select("doc_id", "source", "text"), ["doc_id", "source"]
     ).localCheckpoint(eager=True)
     width = SIMHASH_BITS // SIMHASH_BANDS
     band_arr = F.array(
