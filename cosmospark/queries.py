@@ -3000,13 +3000,26 @@ FROM clusters ORDER BY doc_id
 
 def q_doc_fingerprint(spark, sf_dir):
     """Document fingerprinting: order-independent bag hash from word
-    lengths + first-char codes (pure integer arithmetic both sides)."""
-    d = _t(spark, sf_dir, "documents")
-    fp = (
-        "aggregate(split(text, ' '), 0L, (acc, w) -> "
-        "(acc + length(w) * 31 + coalesce(ascii(substring(w, 1, 1)), 0)) % 1000000007)"
+    lengths + first-char codes (pure integer arithmetic both sides).
+
+    r7: explode + codegen'd SUM instead of the interpreted per-word
+    fold. The bag hash is order-independent and every term is
+    non-negative, so the fold's iterated `(acc + t) % P` equals
+    `SUM(t) % P` exactly (induction on the prefix; sum(int) widens to
+    long, no overflow below ~10⁹-word docs × 3100/term) — identical
+    integers, with the per-word arithmetic in whole-stage codegen and
+    the exchange carrying doc-scale partial sums. `split` never yields
+    an empty array, so no doc_id disappears from the aggregate."""
+    d = _widen_if_narrow(
+        spark, _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
     )
-    return d.select("doc_id", F.expr(fp).alias("fingerprint")).orderBy("doc_id")
+    ex = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    term = F.expr("length(w) * 31 + coalesce(ascii(substring(w, 1, 1)), 0)")
+    return (
+        ex.groupBy("doc_id")
+        .agg((F.sum(term) % F.lit(1000000007)).alias("fingerprint"))
+        .orderBy("doc_id")
+    )
 
 
 SQL_FINGERPRINT = """
